@@ -1,0 +1,93 @@
+"""NumPy-vectorized docID-delta + variable-byte posting compression.
+
+The reference keeps its inverted index inside Elasticsearch (opaque —
+Lucene's own codecs); the north rule requires an explicit posting-list
+format with delta + varbyte compression and block-max skip metadata.
+This codec is the storage kernel: it runs inside ``mapInPandas`` /
+``applyInPandas`` on executors, so it must be vectorized — no per-value
+Python loops over posting entries (loops below are over *byte
+positions*, ≤10 iterations, each vectorized over the whole array).
+
+Format: little-endian 7-bit groups, low group first; the LAST byte of
+each value has the high bit set.  Doc IDs are delta-encoded (first
+value absolute), term frequencies encoded raw.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Encode uint64 array → varbyte bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp = tmp >> np.uint64(7)
+    nbytes = np.maximum(nbits // 7, 1)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    # position of first byte of each value
+    starts = np.zeros(v.size, dtype=np.int64)
+    starts[1:] = np.cumsum(nbytes)[:-1]
+    maxb = int(nbytes.max())
+    rem = v.copy()
+    for j in range(maxb):
+        mask = nbytes > j
+        idx = starts[mask] + j
+        out[idx] = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        rem = rem >> np.uint64(7)
+    # set terminator bit on last byte of each value
+    out[starts + nbytes - 1] |= 0x80
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Decode varbyte bytes → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero(b & 0x80)
+    n = ends.size
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # byte position within its value
+    value_id = np.zeros(b.size, dtype=np.int64)
+    value_id[starts[1:]] = 1
+    value_id = np.cumsum(value_id)
+    pos = np.arange(b.size, dtype=np.int64) - starts[value_id]
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    out = np.zeros(n, dtype=np.uint64)
+    np.add.at(out, value_id, contrib)
+    return out
+
+
+def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
+    """Sorted doc_ids → gaps (first absolute)."""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    out = np.empty_like(d)
+    out[0] = d[0]
+    out[1:] = d[1:] - d[:-1]
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """(sorted doc_ids, tfs) → (varbyte(delta(doc_ids)), varbyte(tfs))."""
+    return vb_encode(delta_encode(doc_ids)), vb_encode(np.asarray(tfs, dtype=np.uint64))
+
+
+def decode_postings(doc_ids_vb: bytes, tfs_vb: bytes) -> tuple[np.ndarray, np.ndarray]:
+    return delta_decode(vb_decode(doc_ids_vb)), vb_decode(tfs_vb)

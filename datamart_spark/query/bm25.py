@@ -1,0 +1,166 @@
+"""BM25 top-k as a declarative DataFrame program over the stored index.
+
+Reference semantics reproduced (apiserver/apiserver/search/__init__.py:
+55-77): multi-term keyword query, operator='and' (every query term must
+match), BM25 k1=1.2 b=0.75 (ES 7.8.1 defaults, docker-compose.yml:6),
+filters (lang / warc_ts range) are non-scoring filter context
+(search/__init__.py:79-105) applied before scoring.  Top-k = 50 default
+in the reference (search/base.py:1); tie-break pinned (score desc,
+doc_id asc).
+
+Plan shape (Catalyst-visible, scale story):
+  postings scan — `term IN (...)` is pushed to parquet row-group
+  pruning on the term column; only the query terms' blocks are read —
+  → mapInPandas varbyte decode (Arrow-batched)
+  → join doc_stats (filter context applied to doc_stats first so the
+    join is pre-pruned; broadcast of term_stats-derived idf map)
+  → groupBy(doc_id) with count(=n_terms) AND-gate + sum(score)
+  → orderBy/limit: Spark's TakeOrderedAndProject = per-partition
+    partial top-k, no full sort.
+
+This path is the *verification* engine (pure built-ins after decode).
+``wand.bm25_topk_blockmax`` is the optimized kernel; both must agree
+(tests/test_bm25_rank_identity.py).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..analyzer import analyze_query
+from ..index.catalog import IndexCatalog
+from ..index.varbyte import vb_decode, delta_decode
+
+K1 = 1.2
+B = 0.75
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_postings_df(postings: DataFrame) -> DataFrame:
+    """Varbyte posting blocks → flat (term, doc_id, tf) rows."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            terms: list[str] = []
+            doc_ids: list[np.ndarray] = []
+            tfs: list[np.ndarray] = []
+            for term, dvb, tvb in zip(b["term"], b["doc_ids_vb"], b["tfs_vb"]):
+                d = delta_decode(vb_decode(bytes(dvb)))
+                t = vb_decode(bytes(tvb))
+                terms.extend([term] * len(d))
+                doc_ids.append(d)
+                tfs.append(t)
+            if not doc_ids:
+                yield pd.DataFrame({"term": [], "doc_id": [], "tf": []})
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "doc_id": np.concatenate(doc_ids).astype(np.int64),
+                    "tf": np.concatenate(tfs).astype(np.int32),
+                }
+            )
+
+    return postings.mapInPandas(decode, schema=_DECODED_SCHEMA)
+
+
+def idf_map(spark: SparkSession, catalog: IndexCatalog, terms: list[str]) -> dict[str, float]:
+    """Per-term idf from term_stats (tiny driver-side lookup — O(q))."""
+    snap = catalog.current_snapshot()
+    n_docs = snap["n_docs"]
+    rows = (
+        catalog.read(spark, "term_stats")
+        .where(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    dfs = {r["term"]: r["df"] for r in rows}
+    return {
+        t: math.log(1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
+        for t in terms
+        if t in dfs
+    }
+
+
+def _filtered_doc_stats(
+    spark: SparkSession,
+    catalog: IndexCatalog,
+    lang: str | None,
+    ts_lo=None,
+    ts_hi=None,
+) -> DataFrame:
+    ds = catalog.read(spark, "doc_stats")
+    if lang is not None:
+        ds = ds.where(F.col("lang") == lang)
+    if ts_lo is not None:
+        ds = ds.where(F.col("warc_ts") >= F.lit(ts_lo))
+    if ts_hi is not None:
+        ds = ds.where(F.col("warc_ts") <= F.lit(ts_hi))
+    return ds
+
+
+def bm25_topk_dataframe(
+    spark: SparkSession,
+    catalog: IndexCatalog,
+    query: str,
+    k: int = 10,
+    lang: str | None = None,
+    ts_lo=None,
+    ts_hi=None,
+) -> DataFrame:
+    snap = catalog.current_snapshot()
+    stemming = snap.get("stemming", True)
+    avgdl = snap["avgdl"]
+    terms = analyze_query(query, stemming=stemming)
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, score double"
+    )
+    if not terms:
+        return empty
+    idfs = idf_map(spark, catalog, terms)
+    if len(idfs) < len(terms):  # AND semantics: a term with df=0 kills the query
+        return empty
+
+    postings = catalog.read(spark, "postings").where(F.col("term").isin(terms))
+    decoded = decode_postings_df(
+        postings.select("term", "doc_ids_vb", "tfs_vb")
+    )
+
+    idf_df = F.broadcast(
+        spark.createDataFrame(
+            [(t, float(v)) for t, v in idfs.items()], "term string, idf double"
+        )
+    )
+    ds = _filtered_doc_stats(spark, catalog, lang, ts_lo, ts_hi).select("doc_id", "doclen")
+
+    scored = (
+        decoded.join(ds, "doc_id")  # inner join = filter context
+        .join(idf_df, "term")
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * F.col("tf")
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("doclen") / F.lit(avgdl))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"), F.count(F.lit(1)).alias("nt"))
+        .where(F.col("nt") == len(terms))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
