@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` / ``oracle_sql()`` come from ``datamart_spark.suite`` —
+every entry pairs a Spark DataFrame program with a DuckDB-runnable
+ANSI-SQL oracle sharing exact semantics (simple analyzer, identical
+float expression shapes, round(…,4) before ordering).
+
+The full engine (stemming analyzer, varbyte posting index, block-max
+kernel) is exercised by ``python -m pytest tests/ -x -q``; the entries
+here are the oracle-checkable surface.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: BM25 two-term AND
+    keyword search over `documents` (the reference's core query,
+    apiserver/apiserver/search/__init__.py:55-77)."""
+    from datamart_spark.suite.fulltext import bm25_direct
+
+    return bm25_direct(spark, "/root/testdata/sf0.001", ["spark", "join"], k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from datamart_spark.suite import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(REGISTRY)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from datamart_spark.suite import ORACLE
+
+    return dict(ORACLE)

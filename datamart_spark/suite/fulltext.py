@@ -1,0 +1,205 @@
+"""Fulltext suite: BM25 keyword search (P1/R1), filter context (P2),
+term/doc statistics — over the driver's ``documents`` table.
+
+Reference: the BM25 `multi_match` query with operator:'and'
+(apiserver/apiserver/search/__init__.py:55-77), k1=1.2 b=0.75 (ES
+7.8.1 defaults), non-scoring filters (search/__init__.py:79-91).
+Corpus statistics (N, avgdl, df) are corpus-wide; filters prune
+candidates only — matching ES filter-context semantics.
+
+Index-free direct scoring: the same BM25 algebra as the catalog path
+(query/bm25.py) expressed as one declarative plan over raw text — the
+ad-hoc path a user takes before an index exists.  Both sides tokenize
+with the simple analyzer so DuckDB can mirror it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import register, table
+
+K1 = 1.2
+B = 0.75
+
+_TOK_SQL = (
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),"
+    " x -> x <> '')) AS term FROM documents"
+)
+
+
+def tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) with the simple analyzer — mirrors _TOK_SQL."""
+    toks = F.split(F.lower(F.col("text")), r"\W+")
+    return docs.select(
+        "doc_id", F.explode(F.filter(toks, lambda x: x != F.lit(""))).alias("term")
+    )
+
+
+def bm25_direct(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: list[str],
+    k: int = 10,
+    lang: str | None = None,
+    and_mode: bool = True,
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = tokens(docs)
+
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    n_docs = float(docs.count())
+    avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
+
+    tfq = tok.where(F.col("term").isin(terms))
+    if lang is not None:
+        tfq = tfq.join(
+            docs.where(F.col("lang") == lang).select("doc_id"), "doc_id"
+        )
+    tf = tfq.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+
+    idf = (
+        tok.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("double").alias("df"))
+        .withColumn(
+            "idf",
+            F.expr(f"ln(1 + ({n_docs!r} - df + 0.5) / (df + 0.5))"),
+        )
+        .select("term", "idf")
+    )
+
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .withColumn(
+            "partial",
+            F.expr(f"idf * tf / (tf + {K1!r} * (0.25 + {B!r} * dl / {avgdl!r}))"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"), F.count(F.lit(1)).alias("nt"))
+    )
+    if and_mode:
+        scored = scored.where(F.col("nt") == len(terms))
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _bm25_sql(terms: list[str], k: int = 10, lang: str | None = None, and_mode: bool = True) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    lang_join = (
+        f"JOIN (SELECT doc_id FROM documents WHERE lang = '{lang}') cand USING (doc_id)"
+        if lang
+        else ""
+    )
+    and_clause = f"WHERE nt = {len(terms)}" if and_mode else ""
+    return f"""
+WITH tok AS ({_TOK_SQL}),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*)::double FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+idf AS (SELECT term,
+               ln(1 + ((SELECT n FROM stats) - count(DISTINCT doc_id)::double + 0.5)
+                      / (count(DISTINCT doc_id)::double + 0.5)) AS idf
+        FROM tok WHERE term IN ({tl}) GROUP BY term),
+tf AS (SELECT t.doc_id, t.term, count(*)::double AS tf
+       FROM tok t {lang_join}
+       WHERE t.term IN ({tl}) GROUP BY 1, 2),
+scored AS (SELECT tf.doc_id,
+                  sum(idf.idf * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))) AS score,
+                  count(*) AS nt
+           FROM tf JOIN dl USING (doc_id) JOIN idf USING (term)
+           GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored {and_clause}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@register("bm25_single_term", _bm25_sql(["spark"]))
+def bm25_single_term(spark, sf_dir):
+    return bm25_direct(spark, sf_dir, ["spark"])
+
+
+@register("bm25_two_term_and", _bm25_sql(["spark", "join"]))
+def bm25_two_term_and(spark, sf_dir):
+    return bm25_direct(spark, sf_dir, ["spark", "join"])
+
+
+@register("bm25_lang_filtered", _bm25_sql(["data", "table"], lang="en"))
+def bm25_lang_filtered(spark, sf_dir):
+    return bm25_direct(spark, sf_dir, ["data", "table"], lang="en")
+
+
+@register("bm25_or_mode", _bm25_sql(["spark", "join"], and_mode=False))
+def bm25_or_mode(spark, sf_dir):
+    return bm25_direct(spark, sf_dir, ["spark", "join"], and_mode=False)
+
+
+@register(
+    "term_stats_top",
+    f"""
+WITH tok AS ({_TOK_SQL})
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
+""",
+)
+def term_stats_top(spark, sf_dir):
+    tok = tokens(table(spark, sf_dir, "documents"))
+    return (
+        tok.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"), F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "doc_length_top",
+    f"""
+WITH tok AS ({_TOK_SQL})
+SELECT doc_id, count(*) AS doclen, count(DISTINCT term) AS n_distinct
+FROM tok GROUP BY doc_id ORDER BY doclen DESC, doc_id ASC LIMIT 20
+""",
+)
+def doc_length_top(spark, sf_dir):
+    tok = tokens(table(spark, sf_dir, "documents"))
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("doclen"),
+            F.count_distinct("term").alias("n_distinct"),
+        )
+        .orderBy(F.desc("doclen"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "top_terms_per_lang",
+    f"""
+WITH tok AS (SELECT d.lang, t.term
+             FROM ({_TOK_SQL}) t JOIN documents d USING (doc_id)),
+c AS (SELECT lang, term, count(*) AS n FROM tok GROUP BY 1, 2),
+r AS (SELECT lang, term, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rk
+      FROM c)
+SELECT lang, term, n, rk FROM r WHERE rk <= 5 ORDER BY lang, rk
+""",
+)
+def top_terms_per_lang(spark, sf_dir):
+    """A6 text histogram (top-5 terms) + W2-style ranking window
+    (reference: lib_profiler core.py:440-461 five most-common)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = tokens(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    c = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )

@@ -1,0 +1,444 @@
+"""Datamart augmentation + profiling operators over the star schema.
+
+Maps SURVEY.md §2 reference ops to declarative Spark plans:
+  J1+A1/A2  join_left_agg        — left equi-join + per-input-row aggs
+             (augmentation.py:376-546 join; perform_aggregations
+              augmentation.py:260-336; default agg set mean/sum/max/min
+              augmentation.py:300-307)
+  J2        temporal_join_month  — coarser-resolution-aligned equi-join
+             (augmentation.py:134-231, date_trunc both sides)
+  J5        union_by_name        — schema-aligned union (augmentation.py:626-761)
+  J6/R2     range_overlap_score  — coverage-range intersects + overlap
+             fraction score (search/join.py:153-199)
+  P8        anti_join_orders     — must_not terms ⇒ left-anti (join.py:145-149)
+  P9        fuzzy_nation_pairs   — edit-distance≤N name match (join.py:141-143)
+  W1        topk_orders          — global top-k by score (search/base.py:1)
+  W2/W3     window_top3          — ranked-within-group selection
+  A2/A3     groupby_flag_status  — agg set incl. non-null count semantics
+  A4/A5     distinct/stddev_pop  — profiler stats (numerical.py:17-33 is
+             population stddev, ÷n)
+  A6        histogram_totalprice — 10-bin numeric histogram (core.py:330-348)
+  A7        temporal_resolution  — avg distinct-per-bucket cascade
+             (temporal.py:36-57)
+  §2.8      json_extract_events  — JSON metadata access (common.py:79-84)
+
+Exact-sum discipline: SUMs of money columns go through decimal(18,2)
+(exact, order-independent) then back to double, so distributed
+summation order cannot flip a rounded value against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from . import register, table
+
+
+@register(
+    "join_left_agg",
+    """
+SELECT o.o_orderkey,
+       count(l.l_orderkey) AS n_items,
+       round(avg(l.l_extendedprice), 4) AS mean_price,
+       cast(sum(cast(l.l_extendedprice AS decimal(18,2))) AS double) AS sum_price,
+       max(l.l_extendedprice) AS max_price,
+       min(l.l_extendedprice) AS min_price
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey < 500
+GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+""",
+)
+def join_left_agg(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, l["l_orderkey"] == o["o_orderkey"], "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.min("l_extendedprice").alias("min_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "temporal_join_month",
+    """
+SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+       count(*) AS n
+FROM orders o JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND date_trunc('month', l.l_shipdate) = date_trunc('month', o.o_orderdate)
+GROUP BY 1 ORDER BY month
+""",
+)
+def temporal_join_month(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    j = o.join(
+        l,
+        (l["l_orderkey"] == o["o_orderkey"])
+        & (F.date_trunc("month", l["l_shipdate"]) == F.date_trunc("month", o["o_orderdate"])),
+    )
+    return (
+        j.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("month")
+    )
+
+
+@register(
+    "union_by_name",
+    """
+WITH u AS (
+  SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS side FROM customer
+  UNION ALL
+  SELECT s_name, s_acctbal, 'supplier' FROM supplier
+)
+SELECT side, substr(name, 1, 1) AS initial, count(*) AS n,
+       cast(sum(cast(acctbal AS decimal(18,2))) AS double) AS sum_bal
+FROM u GROUP BY side, initial ORDER BY side, initial
+""",
+)
+def union_by_name(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("side"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("side"),
+    )
+    u = c.unionByName(s)
+    return (
+        u.groupBy("side", F.substring("name", 1, 1).alias("initial"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+        )
+        .orderBy("side", "initial")
+    )
+
+
+@register(
+    "topk_orders",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+""",
+)
+def topk_orders(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "groupby_flag_status",
+    """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       max(l_extendedprice) AS max_price,
+       min(l_extendedprice) AS min_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def groupby_flag_status(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.min("l_extendedprice").alias("min_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "distinct_counts",
+    """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def distinct_counts(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count_distinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "mean_stddev_pop",
+    """
+SELECT l_returnflag,
+       round(avg(l_extendedprice), 4) AS mean_price,
+       round(stddev_pop(l_extendedprice), 4) AS stddev_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def mean_stddev_pop(spark, sf_dir):
+    """Population stddev — the reference divides by n, not n-1
+    (lib_profiler numerical.py:17-33)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+            F.round(F.stddev_pop("l_extendedprice"), 4).alias("stddev_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "histogram_totalprice",
+    """
+WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+SELECT least(9, floor((o_totalprice - mn) / ((mx - mn) / 10)))::bigint AS bucket,
+       count(*) AS n
+FROM orders, s GROUP BY 1 ORDER BY bucket
+""",
+)
+def histogram_totalprice(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    s = o.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+    return (
+        o.crossJoin(F.broadcast(s))
+        .withColumn(
+            "bucket",
+            F.least(F.lit(9).cast("long"), F.floor((F.col("o_totalprice") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10))),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "temporal_resolution_events",
+    """
+WITH h AS (SELECT date_trunc('hour', ts) AS b, count(DISTINCT ts) AS c FROM events GROUP BY 1),
+d AS (SELECT date_trunc('day', ts) AS b, count(DISTINCT ts) AS c FROM events GROUP BY 1)
+SELECT (SELECT round(avg(c), 4) FROM h) AS per_hour,
+       (SELECT round(avg(c), 4) FROM d) AS per_day
+""",
+)
+def temporal_resolution_events(spark, sf_dir):
+    """A7: resolution = first bucket level where avg distinct values per
+    bucket ≈ 1 (temporal.py:36-57) — here the two diagnostic ratios."""
+    e = table(spark, sf_dir, "events")
+    h = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("b"))
+        .agg(F.count_distinct("ts").alias("c"))
+        .agg(F.round(F.avg("c"), 4).alias("per_hour"))
+    )
+    d = (
+        e.groupBy(F.date_trunc("day", "ts").alias("b"))
+        .agg(F.count_distinct("ts").alias("c"))
+        .agg(F.round(F.avg("c"), 4).alias("per_day"))
+    )
+    return h.crossJoin(d)
+
+
+@register(
+    "range_overlap_score",
+    """
+WITH r AS (SELECT n.n_name, min(s.s_acctbal) AS lo, max(s.s_acctbal) AS hi
+           FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+           GROUP BY n.n_name)
+SELECT n_name,
+       round(greatest(0.0, least(hi, 5000.0) - greatest(lo, 1000.0)) / (5000.0 - 1000.0), 4) AS overlap_score
+FROM r ORDER BY overlap_score DESC, n_name ASC LIMIT 15
+""",
+)
+def range_overlap_score(spark, sf_dir):
+    """J6/R2: query range [1000,5000] vs per-nation acctbal coverage;
+    score = overlap fraction of the query range (search/join.py:159-199)."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.min("s_acctbal").alias("lo"), F.max("s_acctbal").alias("hi"))
+    )
+    return (
+        r.withColumn(
+            "overlap_score",
+            F.round(
+                F.expr("greatest(0.0d, least(hi, 5000.0d) - greatest(lo, 1000.0d)) / (5000.0d - 1000.0d)"),
+                4,
+            ),
+        )
+        .select("n_name", "overlap_score")
+        .orderBy(F.desc("overlap_score"), F.asc("n_name"))
+        .limit(15)
+    )
+
+
+@register(
+    "fuzzy_nation_pairs",
+    """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name) AS dist
+FROM nation a JOIN nation b ON a.n_name < b.n_name
+WHERE levenshtein(a.n_name, b.n_name) <= 5
+ORDER BY dist, name_a, name_b LIMIT 30
+""",
+)
+def fuzzy_nation_pairs(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.n_name") < F.col("b.n_name"))
+        .withColumn("dist", F.levenshtein(F.col("a.n_name"), F.col("b.n_name")))
+        .where(F.col("dist") <= 5)
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            "dist",
+        )
+        .orderBy("dist", "name_a", "name_b")
+        .limit(30)
+    )
+
+
+@register(
+    "anti_join_orders",
+    """
+SELECT o.o_orderpriority, count(*) AS n
+FROM orders o
+ANTI JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') b
+  ON o.o_custkey = b.c_custkey
+GROUP BY 1 ORDER BY o_orderpriority
+""",
+)
+def anti_join_orders(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "window_top3_per_priority",
+    """
+WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders)
+SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM r
+WHERE rk <= 3 ORDER BY o_orderpriority, rk
+""",
+)
+def window_top3_per_priority(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+@register(
+    "json_extract_events",
+    """
+SELECT json_extract_string(props, '$.k') AS k, count(*) AS n
+FROM events GROUP BY 1 ORDER BY n DESC, k ASC LIMIT 20
+""",
+)
+def json_extract_events(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.get_json_object("props", "$.k").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("k"))
+        .limit(20)
+    )
+
+
+@register(
+    "profile_columns_documents",
+    """
+SELECT 'lang' AS column_name, count(DISTINCT lang) AS n_distinct,
+       count(*) - count(lang) AS n_null, count(*) AS n_rows FROM documents
+UNION ALL
+SELECT 'source', count(DISTINCT source), count(*) - count(source), count(*) FROM documents
+ORDER BY column_name
+""",
+)
+def profile_columns_documents(spark, sf_dir):
+    """Datamart-style per-column profile facet (distinct counts drive the
+    Enumeration rule, profile_types.py:209-218)."""
+    d = table(spark, sf_dir, "documents")
+    lang = d.agg(
+        F.lit("lang").alias("column_name"),
+        F.count_distinct("lang").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count("lang")).alias("n_null"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    src = d.agg(
+        F.lit("source").alias("column_name"),
+        F.count_distinct("source").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count("source")).alias("n_null"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return lang.unionByName(src).orderBy("column_name")
+
+
+@register(
+    "numeric_profile_lineitem",
+    """
+SELECT round(avg(l_quantity), 4) AS qty_mean,
+       round(stddev_pop(l_quantity), 4) AS qty_stddev,
+       min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+       round(avg(l_discount), 4) AS disc_mean,
+       min(l_discount) AS disc_min, max(l_discount) AS disc_max
+FROM lineitem
+""",
+)
+def numeric_profile_lineitem(spark, sf_dir):
+    return table(spark, sf_dir, "lineitem").agg(
+        F.round(F.avg("l_quantity"), 4).alias("qty_mean"),
+        F.round(F.stddev_pop("l_quantity"), 4).alias("qty_stddev"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.round(F.avg("l_discount"), 4).alias("disc_mean"),
+        F.min("l_discount").alias("disc_min"),
+        F.max("l_discount").alias("disc_max"),
+    )

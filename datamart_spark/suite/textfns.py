@@ -1,0 +1,370 @@
+"""Training-data-pipeline text operators over ``documents``:
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+language-ID, quality scoring, token counting, fingerprinting.
+
+Cross-engine determinism trick: every hash is derived from md5 hex
+(identical in Spark and DuckDB), sliced to 15 hex digits → int64 via
+``conv(…,16,10)`` / ``('0x'||…)::bigint``.  All per-token work stays in
+array expressions (``transform``/``list_transform``) — JVM-side in
+Spark, no Python in the loop.
+
+Scale notes (100 TB story): exact dedup is one hash-groupBy shuffle;
+MinHash-LSH is the standard shingle→signature→band→bucket-join plan —
+the band join's output is bounded by bucket sizes, and a skewed bucket
+(boilerplate pages) is handled by AQE skew-join; pairwise Jaccard runs
+only on LSH candidates at scale (here on a doc_id<150 slice so the
+oracle stays cheap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import register, table
+from .fulltext import tokens, _TOK_SQL
+
+# int64 from md5 hex prefix — identical in both engines
+_H_SQL = "('0x' || substr(md5({x}), 1, 15))::bigint"
+
+
+def _h_spark(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# --- exact dedup (hash-groupBy) ---------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY n_dups DESC, keep_id ASC LIMIT 30
+""",
+)
+def dedup_exact(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .orderBy(F.desc("n_dups"), F.asc("keep_id"))
+        .limit(30)
+    )
+
+
+# --- MinHash signatures + LSH band join --------------------------------------
+
+_N_HASHES = 4
+
+
+def _minhash_sig(spark, sf_dir, max_doc: int):
+    tok = tokens(
+        table(spark, sf_dir, "documents").where(F.col("doc_id") < max_doc)
+    ).dropDuplicates(["doc_id", "term"])
+    aggs = [
+        F.min(_h_spark(F.concat(F.lit(f"{j}:"), F.col("term")))).alias(f"mh{j}")
+        for j in range(_N_HASHES)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql(max_doc: int) -> str:
+    cols = ", ".join(
+        "min({h}) AS mh{j}".format(h=_H_SQL.format(x=f"'{j}:' || term"), j=j)
+        for j in range(_N_HASHES)
+    )
+    return f"""
+WITH tok AS ({_TOK_SQL}),
+td AS (SELECT DISTINCT doc_id, term FROM tok WHERE doc_id < {max_doc})
+SELECT doc_id, {cols} FROM td GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("minhash_signatures", _minhash_sql(80))
+def minhash_signatures(spark, sf_dir):
+    return _minhash_sig(spark, sf_dir, 80).orderBy("doc_id")
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+WITH tok AS ({_TOK_SQL}),
+td AS (SELECT DISTINCT doc_id, term FROM tok WHERE doc_id < 200),
+sig AS (SELECT doc_id, b.band,
+               min({_H_SQL.format(x="band::varchar || ':' || term")}) AS h
+        FROM td CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+        GROUP BY doc_id, b.band)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b LIMIT 50
+""",
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    tok = (
+        tokens(table(spark, sf_dir, "documents").where(F.col("doc_id") < 200))
+        .dropDuplicates(["doc_id", "term"])
+    )
+    sig = (
+        tok.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.min(
+                _h_spark(
+                    F.concat(F.col("band").cast("string"), F.lit(":"), F.col("term"))
+                )
+            ).alias("h")
+        )
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+# --- n-gram (word 3-gram) Jaccard --------------------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+WITH arr AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+             FROM documents WHERE doc_id < 150),
+sh AS (SELECT doc_id,
+              unnest(list_transform(range(len(toks) - 2),
+                                    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+       FROM arr WHERE len(toks) >= 3),
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.05
+ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50
+""",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    arr = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").alias("toks"),
+    ).where(F.size("toks") >= 3)
+    sh = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("jac_raw", F.expr("c * 1.0d / (sa.n + sb.n - c)"))
+        .where(F.col("jac_raw") >= 0.05)
+    )
+    return (
+        j.select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+# --- SimHash (16-bit, unweighted over distinct terms) -------------------------
+
+
+@register(
+    "simhash16",
+    f"""
+WITH tok AS ({_TOK_SQL}),
+td AS (SELECT DISTINCT doc_id, term FROM tok WHERE doc_id < 100),
+bits AS (SELECT doc_id, b.b,
+                sum(CASE WHEN (({_H_SQL.format(x='term')}) >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM td CROSS JOIN (SELECT unnest(range(16)) AS b) b
+         GROUP BY doc_id, b.b)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::bigint << b) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def simhash16(spark, sf_dir):
+    tok = (
+        tokens(table(spark, sf_dir, "documents").where(F.col("doc_id") < 100))
+        .dropDuplicates(["doc_id", "term"])
+        .withColumn("h", _h_spark(F.col("term")))
+    )
+    bits = (
+        tok.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(15))))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END")
+            ).alias("s")
+        )
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END")
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- token counting / quality / langid / fingerprint --------------------------
+
+_STOP = "'the','of','and','a','to','in','is','that','for','it'"
+
+
+@register(
+    "token_count",
+    f"""
+WITH tok AS ({_TOK_SQL})
+SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct
+FROM tok WHERE doc_id < 100 GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def token_count(spark, sf_dir):
+    tok = tokens(table(spark, sf_dir, "documents").where(F.col("doc_id") < 100))
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("term").alias("n_distinct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "quality_score",
+    f"""
+WITH arr AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+             FROM documents WHERE doc_id < 100),
+m AS (SELECT doc_id,
+             len(toks) AS n,
+             len(list_filter(toks, x -> list_contains([{_STOP}], x))) AS nstop,
+             list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS charsum
+      FROM arr WHERE len(toks) > 0)
+SELECT doc_id, n AS n_tokens,
+       round(nstop * 1.0 / n, 4) AS stop_ratio,
+       round(charsum * 1.0 / n, 4) AS avg_token_len,
+       round(least(1.0, n / 100.0) * (1.0 - nstop * 1.0 / n), 4) AS quality
+FROM m ORDER BY doc_id
+""",
+)
+def quality_score(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    arr = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").alias("toks"),
+    )
+    m = arr.where(F.size("toks") > 0).select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.expr(f"size(filter(toks, x -> array_contains(array({_STOP}), x)))").alias("nstop"),
+        F.expr("aggregate(transform(toks, x -> length(x)), 0, (s, v) -> s + v)").alias("charsum"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.round(F.expr("nstop * 1.0d / n"), 4).alias("stop_ratio"),
+        F.round(F.expr("charsum * 1.0d / n"), 4).alias("avg_token_len"),
+        F.round(F.expr("least(1.0d, n / 100.0d) * (1.0d - nstop * 1.0d / n)"), 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_EN = "'the','and','of','is','to'"
+_DE = "'der','die','und','das','ist'"
+_FR = "'le','la','et','les','des'"
+
+
+@register(
+    "langid_markers",
+    f"""
+WITH arr AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+             FROM documents WHERE doc_id < 100),
+m AS (SELECT doc_id,
+             len(list_filter(toks, x -> list_contains([{_EN}], x))) AS n_en,
+             len(list_filter(toks, x -> list_contains([{_DE}], x))) AS n_de,
+             len(list_filter(toks, x -> list_contains([{_FR}], x))) AS n_fr
+      FROM arr)
+SELECT doc_id, n_en, n_de, n_fr,
+       CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 THEN 'unknown'
+            WHEN n_en >= n_de AND n_en >= n_fr THEN 'en'
+            WHEN n_de >= n_fr THEN 'de' ELSE 'fr' END AS predicted
+FROM m ORDER BY doc_id
+""",
+)
+def langid_markers(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    arr = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").alias("toks"),
+    )
+    m = arr.select(
+        "doc_id",
+        F.expr(f"size(filter(toks, x -> array_contains(array({_EN}), x)))").alias("n_en"),
+        F.expr(f"size(filter(toks, x -> array_contains(array({_DE}), x)))").alias("n_de"),
+        F.expr(f"size(filter(toks, x -> array_contains(array({_FR}), x)))").alias("n_fr"),
+    )
+    return m.select(
+        "doc_id",
+        "n_en",
+        "n_de",
+        "n_fr",
+        F.expr(
+            "CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 THEN 'unknown' "
+            "WHEN n_en >= n_de AND n_en >= n_fr THEN 'en' "
+            "WHEN n_de >= n_fr THEN 'de' ELSE 'fr' END"
+        ).alias("predicted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "fingerprint_rolling",
+    """
+WITH arr AS (SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+             FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       list_reduce(list_prepend(0::bigint,
+                                list_transform(toks, t -> ('0x' || substr(md5(t), 1, 4))::bigint)),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM arr ORDER BY doc_id
+""",
+)
+def fingerprint_rolling(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(filter(split(lower(text), '\\\\W+'), x -> x != ''),"
+            " t -> cast(conv(substring(md5(t), 1, 4), 16, 10) as bigint)),"
+            " cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)"
+        ).alias("fingerprint"),
+    ).orderBy("doc_id")
