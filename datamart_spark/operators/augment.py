@@ -1,0 +1,163 @@
+"""Augmentation execution: the reference's join/union engine, Spark-first.
+
+Reference executes augmentation in pandas with hand-rolled chunking
+(lib_augmentation/datamart_augmentation/augmentation.py): companion CSV
+streamed in 10k-row chunks, joined per chunk, concatenated, then
+group-by de-duplicated.  In Spark the whole apparatus collapses to one
+declarative program — Catalyst picks broadcast vs sort-merge, spills
+handle memory, AQE splits skewed keys:
+
+    input.join(companion, keys, 'left').groupBy(row_id).agg(...)
+
+Semantics preserved:
+- key normalization (augmentation.py:93-131): strings lowercased,
+  numerics cast, datetimes parsed;
+- UNIQUE_INDEX_KEY per input row (augmentation.py:50-55,462) so a 1:N
+  join aggregates back to exactly one output row per input row;
+- default agg set for numeric companion columns mean/sum/max/min
+  (augmentation.py:300-307), non-numeric → first, output columns named
+  "<agg> <col>" (augmentation.py:329-333);
+- agg function semantics (augmentation.py:239-257): count = non-null
+  count, sum = null-if-all-null;
+- temporal alignment (augmentation.py:134-231): both sides truncated
+  to the COARSER of the two detected resolutions before the equi-join;
+- union (augmentation.py:626-761): columns aligned by name, missing
+  filled null, column order = left's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..profiler.temporal import coarser, detect_resolution
+
+UNIQUE_INDEX_KEY = "__augment_row_id__"
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+DEFAULT_NUMERIC_AGGS = ("mean", "sum", "max", "min")
+
+
+def _normalize_key(df: DataFrame, col: str) -> DataFrame:
+    """Key normalization per augmentation.py:93-131: lowercase strings;
+    other types join as-is (Spark casts consistently)."""
+    dt = dict(df.dtypes)[col]
+    if dt == "string":
+        return df.withColumn(col, F.lower(F.trim(F.col(col))))
+    return df
+
+
+def _agg_expr(fn: str, col: str):
+    out = f"{fn} {col}"  # reference naming: "<agg> <col>" (augmentation.py:329-333)
+    if fn == "mean":
+        return F.avg(col).alias(out)
+    if fn == "sum":  # null if all null (augmentation.py:239-247)
+        return F.when(F.count(col) > 0, F.sum(col)).alias(out)
+    if fn == "max":
+        return F.max(col).alias(out)
+    if fn == "min":
+        return F.min(col).alias(out)
+    if fn == "count":  # non-null count (augmentation.py:250-257)
+        return F.count(col).alias(out)
+    if fn == "first":
+        return F.first(col, ignorenulls=True).alias(out)
+    raise ValueError(f"unknown agg function: {fn}")
+
+
+def join_augment(
+    input_df: DataFrame,
+    companion: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+    how: str = "left",
+    agg_functions: dict[str, list[str]] | None = None,
+    broadcast_companion: bool | None = None,
+) -> DataFrame:
+    """J1/J4: multi-key equi-join + A1-A3 per-input-row aggregation.
+
+    Scale: companion dimension tables broadcast (set
+    ``broadcast_companion=True`` or leave None for Catalyst/AQE to
+    decide); the groupBy key is the synthetic row id, which is unique
+    ⇒ perfectly distributed, no skew.
+    """
+    left = input_df.withColumn(UNIQUE_INDEX_KEY, F.monotonically_increasing_id())
+    for k in left_keys:
+        left = _normalize_key(left, k)
+    right = companion
+    for k in right_keys:
+        right = _normalize_key(right, k)
+    # avoid collisions: prefix companion non-key columns (rsuffix analog)
+    value_cols = [c for c in right.columns if c not in right_keys]
+    renames = {c: f"r_{c}" if c in left.columns else c for c in value_cols}
+    for old, new in renames.items():
+        if old != new:
+            right = right.withColumnRenamed(old, new)
+    value_cols = [renames[c] for c in value_cols]
+
+    cond = [left[a] == right[b] for a, b in zip(left_keys, right_keys)]
+    if broadcast_companion:
+        right = F.broadcast(right)
+    joined = left.join(right, cond, how)
+
+    rtypes = dict(zip([f.name for f in companion.schema.fields],
+                      [f.dataType for f in companion.schema.fields]))
+    aggs = []
+    for c in value_cols:
+        orig = c[2:] if c.startswith("r_") and c[2:] in rtypes else c
+        fns = (agg_functions or {}).get(orig)
+        if fns is None:
+            fns = (
+                DEFAULT_NUMERIC_AGGS
+                if isinstance(rtypes.get(orig), _NUMERIC_TYPES)
+                else ("first",)
+            )
+        aggs += [_agg_expr(fn, c) for fn in fns]
+    input_cols = [c for c in left.columns if c != UNIQUE_INDEX_KEY]
+    out = joined.groupBy(UNIQUE_INDEX_KEY, *[left[c] for c in input_cols]).agg(*aggs)
+    return out.drop(UNIQUE_INDEX_KEY)
+
+
+def temporal_aligned_join(
+    input_df: DataFrame,
+    companion: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    how: str = "left",
+    resolution: str | None = None,
+    agg_functions: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """J2: truncate both datetime keys to the coarser detected
+    resolution (or a user-supplied one) and equi-join.
+
+    Two-pass by design (SURVEY §4 "decide-once"): resolution detection
+    is a separate small aggregation job, then the join plan is built
+    with the frozen truncation — same as the reference freezing the
+    alignment on the first chunk (augmentation.py:492-528)."""
+    if resolution is None:
+        r_left = detect_resolution(input_df, left_ts)
+        r_right = detect_resolution(companion, right_ts)
+        resolution = coarser(r_left, r_right)
+    lkey, rkey = "__ts_l__", "__ts_r__"
+    left = input_df.withColumn(lkey, F.date_trunc(resolution, F.col(left_ts)))
+    right = companion.withColumn(rkey, F.date_trunc(resolution, F.col(right_ts))).drop(
+        right_ts
+    )
+    out = join_augment(
+        left, right, [lkey], [rkey], how=how, agg_functions=agg_functions
+    )
+    return out.drop(lkey)
+
+
+def union_augment(left: DataFrame, right: DataFrame) -> DataFrame:
+    """J5: schema-aligned union — right columns matched to left by name,
+    missing columns null-filled, column order forced to left's
+    (augmentation.py:626-761)."""
+    for c in left.columns:
+        if c not in right.columns:
+            right = right.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    right = right.select(*left.columns)
+    return left.unionByName(right)

@@ -76,17 +76,24 @@ def decode_postings_df(postings: DataFrame) -> DataFrame:
     return postings.mapInPandas(decode, schema=_DECODED_SCHEMA)
 
 
+_DF_CACHE: dict[tuple[str, int], dict[str, int]] = {}
+
+
 def idf_map(spark: SparkSession, catalog: IndexCatalog, terms: list[str]) -> dict[str, float]:
-    """Per-term idf from term_stats (tiny driver-side lookup — O(q))."""
+    """Per-term idf from term_stats.  The full df map is cached in the
+    driver per (catalog, snapshot) — term_stats is O(vocabulary), tiny
+    next to the corpus, and serving many queries from one lookup table
+    is exactly what the reference's ES node does with its term
+    dictionary."""
     snap = catalog.current_snapshot()
     n_docs = snap["n_docs"]
-    rows = (
-        catalog.read(spark, "term_stats")
-        .where(F.col("term").isin(terms))
-        .select("term", "df")
-        .collect()
-    )
-    dfs = {r["term"]: r["df"] for r in rows}
+    key = (catalog.root, snap["sequence"])
+    dfs = _DF_CACHE.get(key)
+    if dfs is None:
+        rows = catalog.read(spark, "term_stats").select("term", "df").collect()
+        dfs = {r["term"]: r["df"] for r in rows}
+        _DF_CACHE.clear()  # one catalog at a time; avoid unbounded growth
+        _DF_CACHE[key] = dfs
     return {
         t: math.log(1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
         for t in terms
