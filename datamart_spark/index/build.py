@@ -31,7 +31,6 @@ term list — O(1) and O(#stopwords).  Nothing collects posting data.
 from __future__ import annotations
 
 import time
-from collections import Counter
 from collections.abc import Iterator
 
 import numpy as np
@@ -84,23 +83,46 @@ def term_doc_tf(docs: DataFrame, text_col: str = "text", stemming: bool = True) 
     Arrow batch (map-side combine before any shuffle)."""
 
     def analyze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..porter2 import stem
+
+        stem_cache: dict[str, str] = {}
         for b in batches:
-            toks = analyze_series(b[text_col], stemming=stemming)
-            doc_ids: list[int] = []
-            terms: list[str] = []
-            tfs: list[int] = []
-            doclens: list[int] = []
-            for doc_id, ts in zip(b["doc_id"], toks):
-                ts = ts or []
-                c = Counter(ts)
-                dl = len(ts)
-                for t, n in c.items():
-                    doc_ids.append(doc_id)
-                    terms.append(t)
-                    tfs.append(n)
-                    doclens.append(dl)
+            toks = analyze_series(b[text_col], stemming=False)  # stem below, per unique
+            toks = toks.map(lambda ts: ts if ts is not None else [])
+            lens = toks.map(len).to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
+                yield pd.DataFrame({"doc_id": [], "term": [], "tf": [], "doclen": []})
+                continue
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            # stem once per UNIQUE surface token (vocab ≪ token count),
+            # then refactorize on the STEM so forms that collapse to one
+            # stem ("runs","running"→"run") merge into a single tf
+            uniq, inv = np.unique(flat, return_inverse=True)
+            if stemming:
+                for u in uniq:
+                    if u not in stem_cache:
+                        stem_cache[u] = stem(u)
+                surf_stems = np.array([stem_cache[u] for u in uniq], dtype=object)
+            else:
+                surf_stems = uniq
+            stems, stem_of_surf = np.unique(surf_stems, return_inverse=True)
+            token_stem = stem_of_surf[inv]
+            # integer-factorized (doc, stem) pair counting — all C-level
+            doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+            n_terms = len(stems)
+            pair_codes = doc_idx * n_terms + token_stem
+            pair_uniq, pair_counts = np.unique(pair_codes, return_counts=True)
+            out_doc_idx = pair_uniq // n_terms
+            out_term_idx = pair_uniq % n_terms
+            stemmed = stems
+            doc_ids = b["doc_id"].to_numpy()
             yield pd.DataFrame(
-                {"doc_id": doc_ids, "term": terms, "tf": tfs, "doclen": doclens}
+                {
+                    "doc_id": doc_ids[out_doc_idx],
+                    "term": stemmed[out_term_idx],
+                    "tf": pair_counts.astype(np.int32),
+                    "doclen": lens[out_doc_idx].astype(np.int32),
+                }
             )
 
     return docs.select("doc_id", text_col).mapInPandas(analyze_batches, schema=_TD_SCHEMA)
@@ -149,7 +171,16 @@ def build_index(
     if "doc_id" not in cols:
         raise ValueError("documents must carry doc_id (assign before build)")
 
+    phases: dict[str, float] = {}
+    t_phase = time.time()
+
+    def mark(name: str) -> None:
+        nonlocal t_phase
+        phases[name] = round(time.time() - t_phase, 3)
+        t_phase = time.time()
+
     n_docs = docs.count()
+    mark("count")
     snap = catalog.current_snapshot() if resume else None
     if snap:  # shard mapping must stay fixed across resumed builds
         n_shards = snap["n_shards"]
@@ -172,33 +203,44 @@ def build_index(
             ).na.fill({"doclen": 0})
         catalog.write(doc_stats.withColumn("shard", shard), "doc_stats",
                       partition_by=["shard"])
+        mark("analyze_and_doc_stats")
         term_stats = tdf.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
         )
         catalog.write(term_stats, "term_stats")
+        mark("term_stats")
 
     stats = catalog.read(spark, "doc_stats").agg(
         F.avg("doclen").alias("avgdl")
     ).collect()[0]
     avgdl = float(stats["avgdl"] or 0.0)
+    mark("avgdl")
 
     if todo:
         tdf_sharded = tdf.withColumn("shard", shard)
         if len(todo) < n_shards:
             tdf_sharded = tdf_sharded.where(F.col("shard").isin(todo))
 
-        def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _encode_blocks(pdf, avgdl)
+        def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = list(batches)
+            if not parts:
+                return
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+            yield _encode_partition_blocks(pdf, avgdl)
 
+        # hash-repartition on (term, shard): every group lands whole in
+        # one partition; the encoder processes the partition vectorized
+        # (one mapInPandas call), avoiding per-group applyInPandas
+        # overhead — measured 40k pandas slices ≈ the whole encode cost
         postings = (
             tdf_sharded.repartition(
-                max(n_shards, spark.sparkContext.defaultParallelism), "term", "shard"
+                max(n_shards, 2 * spark.sparkContext.defaultParallelism), "term", "shard"
             )
-            .groupBy("term", "shard")
-            .applyInPandas(encode_group, schema=POSTINGS_SCHEMA)
+            .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
         )
         mode = "append" if (resume and done and catalog.exists("postings")) else "overwrite"
         catalog.write(postings, "postings", partition_by=["shard"], mode=mode)
+        mark("postings")
     tdf.unpersist()
 
     # lineage + metrics per shard (north rule)
@@ -209,8 +251,10 @@ def build_index(
         .agg(F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings"))
         .collect()
     }
+    mark("metrics")
     elapsed = time.time() - t0
     manifest = {
+        "phase_seconds": phases,
         "n_docs": n_docs,
         "n_shards": n_shards,
         "avgdl": avgdl,
@@ -223,6 +267,50 @@ def build_index(
     }
     catalog.commit_snapshot(manifest)
     return catalog.current_snapshot()
+
+
+def _encode_partition_blocks(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+    """Encode ALL (term, shard) groups in one partition, vectorized:
+    one lexsort, group boundaries via np.unique, then per-block varbyte
+    encode (each encode call itself vectorized over the block)."""
+    terms = pdf["term"].to_numpy()
+    shards = pdf["shard"].to_numpy().astype(np.int64)
+    doc_ids = pdf["doc_id"].to_numpy().astype(np.uint64)
+    tfs = pdf["tf"].to_numpy().astype(np.uint64)
+    dls = pdf["doclen"].to_numpy().astype(np.float64)
+
+    order = np.lexsort((doc_ids, shards, terms))
+    terms, shards, doc_ids, tfs, dls = (
+        terms[order], shards[order], doc_ids[order], tfs[order], dls[order]
+    )
+    tfn = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+
+    # group boundaries over the (term, shard) key
+    key_change = np.empty(len(terms), dtype=bool)
+    key_change[0] = True
+    key_change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+    starts = np.flatnonzero(key_change)
+    ends = np.append(starts[1:], len(terms))
+
+    out = {name: [] for name in
+           ("term", "shard", "block_id", "n", "first_doc_id",
+            "last_doc_id", "max_tfn", "doc_ids_vb", "tfs_vb")}
+    for g0, g1 in zip(starts, ends):
+        term = terms[g0]
+        shard_v = int(shards[g0])
+        for bi, lo in enumerate(range(g0, g1, BLOCK_SIZE)):
+            hi = min(lo + BLOCK_SIZE, g1)
+            d = doc_ids[lo:hi]
+            out["term"].append(term)
+            out["shard"].append(shard_v)
+            out["block_id"].append(bi)
+            out["n"].append(hi - lo)
+            out["first_doc_id"].append(int(d[0]))
+            out["last_doc_id"].append(int(d[-1]))
+            out["max_tfn"].append(float(tfn[lo:hi].max()))
+            out["doc_ids_vb"].append(vb_encode(delta_encode(d)))
+            out["tfs_vb"].append(vb_encode(tfs[lo:hi]))
+    return pd.DataFrame(out)
 
 
 def _encode_blocks(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:

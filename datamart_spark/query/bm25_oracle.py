@@ -49,17 +49,24 @@ class Bm25Oracle:
         df = self.df.get(term, 0)
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def score_doc(self, doc_id: int, terms: list[str]) -> float | None:
-        """AND semantics: None if any term missing from the doc."""
+    def score_doc(
+        self, doc_id: int, terms: list[str], or_mode: bool = False
+    ) -> float | None:
+        """AND semantics by default: None if any term missing from the
+        doc.  OR mode sums present terms; None only if none present."""
         c = self.tf[doc_id]
         dl = self.doclen[doc_id]
         s = 0.0
+        any_present = False
         for t in terms:
             tf = c.get(t, 0)
             if tf == 0:
-                return None
+                if not or_mode:
+                    return None
+                continue
+            any_present = True
             s += self.idf(t) * tf / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
-        return s
+        return s if any_present else None
 
     def topk(
         self,
@@ -68,8 +75,11 @@ class Bm25Oracle:
         lang: str | None = None,
         ts_lo=None,
         ts_hi=None,
+        or_mode: bool = False,
     ) -> list[tuple[int, float]]:
         terms = analyze_query(query, stemming=self.stemming)
+        if or_mode:
+            terms = [t for t in terms if self.df.get(t, 0) > 0]
         if not terms:
             return []
         hits = []
@@ -80,7 +90,7 @@ class Bm25Oracle:
                 continue
             if ts_hi is not None and self.meta.at[doc_id, "warc_ts"] > ts_hi:
                 continue
-            s = self.score_doc(doc_id, terms)
+            s = self.score_doc(doc_id, terms, or_mode=or_mode)
             if s is not None:
                 hits.append((doc_id, s))
         hits.sort(key=lambda x: (-x[1], x[0]))

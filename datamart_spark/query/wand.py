@@ -126,28 +126,76 @@ def _shard_topk(
     return _local_topk(cand, score, k)
 
 
-def _shard_topk_or(by_term, ds_ids, ds_len, idfs, avgdl, k, filtered, empty) -> pd.DataFrame:
-    """OR mode: score union of postings (vectorized accumulation)."""
-    all_d, all_s = [], []
+def _score_docs(cand, by_term, ds_ids, ds_len, idfs, avgdl):
+    """Exact OR score of given docs: fence-decode each term's blocks
+    around the candidate set and accumulate present contributions."""
+    norm = K1 * (1.0 - B + B * ds_len[np.searchsorted(ds_ids, cand)] / avgdl)
+    score = np.zeros(cand.size, dtype=np.float64)
     for t, rows in by_term.items():
-        d, tf = _decode_term_blocks(rows, None)
-        if filtered:
-            m = np.isin(d, ds_ids)
-            d, tf = d[m], tf[m]
+        d, tf = _decode_term_blocks(rows, cand)
         if d.size == 0:
             continue
-        dl = ds_len[np.searchsorted(ds_ids, d)]
-        tff = tf.astype(np.float64)
-        all_d.append(d)
-        all_s.append(idfs[t] * tff / (tff + K1 * (1.0 - B + B * dl / avgdl)))
-    if not all_d:
+        pos = np.searchsorted(d, cand)
+        pos_c = np.minimum(pos, d.size - 1)
+        present = d[pos_c] == cand
+        tff = tf[pos_c].astype(np.float64)
+        score += np.where(present, idfs[t] * tff / (tff + norm), 0.0)
+    return score
+
+
+def _shard_topk_or(by_term, ds_ids, ds_len, idfs, avgdl, k, filtered, empty) -> pd.DataFrame:
+    """OR mode: block-max WAND-style pruning, exact results.
+
+    1. Seed a threshold θ: fully score the docs of the strongest term's
+       best blocks (highest idf·max_tfn upper bound).
+    2. Block pruning: block b of term t cannot contribute to a top-k doc
+       if ub(b) + Σ_{t'≠t} max_ub(t') < θ — skip (never decode) it.
+    3. Exact rescore of every candidate doc surviving pruning.
+    Classic DAAT WAND pivots per document; this is its vectorized
+    batch analog — same skip criterion, same exactness argument.
+    """
+    ubs: dict[str, np.ndarray] = {}
+    max_ub: dict[str, float] = {}
+    for t, rows in by_term.items():
+        ub = idfs[t] * rows["max_tfn"].to_numpy().astype(np.float64)
+        ubs[t] = ub
+        max_ub[t] = float(ub.max())
+    total_ub = sum(max_ub.values())
+
+    # 1. seed θ from the strongest term's best blocks
+    t_seed = max(max_ub, key=lambda t: max_ub[t])
+    rows = by_term[t_seed]
+    order = np.argsort(-ubs[t_seed])
+    n_seed = max(1, (2 * k + 127) // 128)
+    seed_rows = rows.iloc[order[:n_seed]]
+    seed_docs, _ = _decode_term_blocks(seed_rows, None)
+    if filtered:
+        seed_docs = seed_docs[np.isin(seed_docs, ds_ids)]
+    theta = 0.0
+    if seed_docs.size:
+        seed_scores = _score_docs(seed_docs, by_term, ds_ids, ds_len, idfs, avgdl)
+        if seed_scores.size >= k:
+            theta = float(np.partition(-seed_scores, k - 1)[k - 1] * -1)
+
+    # 2. prune blocks that provably cannot reach θ; gather candidates
+    cand_parts = [seed_docs]
+    for t, rows in by_term.items():
+        rest = total_ub - max_ub[t]
+        keep = ubs[t] + rest >= theta
+        if not keep.any():
+            continue
+        kept = rows[pd.Series(keep, index=rows.index)]
+        d, _ = _decode_term_blocks(kept, None)
+        cand_parts.append(d)
+    cand = np.unique(np.concatenate(cand_parts)) if cand_parts else np.zeros(0, np.uint64)
+    if filtered:
+        cand = cand[np.isin(cand, ds_ids)]
+    if cand.size == 0:
         return empty
-    d = np.concatenate(all_d)
-    s = np.concatenate(all_s)
-    uniq, inv = np.unique(d, return_inverse=True)
-    acc = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(acc, inv, s)
-    return _local_topk(uniq, acc, k)
+
+    # 3. exact rescore of all surviving candidates
+    score = _score_docs(cand, by_term, ds_ids, ds_len, idfs, avgdl)
+    return _local_topk(cand, score, k)
 
 
 def _local_topk(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
@@ -189,8 +237,8 @@ def bm25_topk_blockmax(
     postings = (
         catalog.read(spark, "postings")
         .where(F.col("term").isin(terms))
-        .select("shard", "term", "block_id", "n",
-                "first_doc_id", "last_doc_id", "doc_ids_vb", "tfs_vb")
+        .select("shard", "term", "block_id", "n", "first_doc_id",
+                "last_doc_id", "max_tfn", "doc_ids_vb", "tfs_vb")
     )
     ds = _filtered_doc_stats(spark, catalog, lang, ts_lo, ts_hi).select(
         "shard", "doc_id", "doclen"

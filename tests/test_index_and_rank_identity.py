@@ -113,11 +113,34 @@ def test_absent_term_empty(built, spark):
 def test_or_mode_superset(built, spark):
     from datamart_spark.corpus import _VOCAB
 
-    catalog, _, _ = built
+    catalog, oracle, _ = built
     q = f"{_VOCAB[60]} zzznotaword"
     and_rows = _rows(bm25_topk_blockmax(spark, catalog, q, k=5))
     or_rows = _rows(bm25_topk_blockmax(spark, catalog, q, k=5, or_mode=True))
     assert and_rows == [] and len(or_rows) > 0
+    _assert_rank_identical(or_rows, oracle.topk(q, k=5, or_mode=True), -3, q)
+
+
+def test_or_mode_wand_rank_identity(built, spark):
+    """Block-max WAND pruning must stay exact: multi-term OR queries
+    incl. a stopword-tier term (max pruning pressure) vs oracle."""
+    from datamart_spark.corpus import _VOCAB
+
+    catalog, oracle, _ = built
+    for q in (
+        f"the {_VOCAB[80]}",
+        f"{_VOCAB[31]} {_VOCAB[500]} {_VOCAB[1500]}",
+        "the of and",
+        f"{_VOCAB[40]}",
+    ):
+        got = _rows(bm25_topk_blockmax(spark, catalog, q, k=10, or_mode=True))
+        want = oracle.topk(q, k=10, or_mode=True)
+        _assert_rank_identical(got, want, -4, q)
+    # filtered OR mode
+    got = _rows(bm25_topk_blockmax(spark, catalog, f"the {_VOCAB[80]}", k=10,
+                                   or_mode=True, lang="en"))
+    want = oracle.topk(f"the {_VOCAB[80]}", k=10, or_mode=True, lang="en")
+    _assert_rank_identical(got, want, -5, f"the {_VOCAB[80]} lang=en")
 
 
 def test_resume_skips_committed_shards(built, spark, tmp_path):
