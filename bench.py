@@ -33,8 +33,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
-LOW_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_LOW_CPUS", "8"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
+# Scaling pair: a local[N] job with Arrow UDF stages runs N JVM task
+# threads + N python workers concurrently — effective CPU need ≈ 2N.
+# On this 32-core box the largest honest 4× pair is therefore
+# local[4] vs local[16] (needs 8 vs 32 cores); local[8]→local[32]
+# oversubscribes the high end 2× and systematically under-measures it.
+HIGH_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH_CPUS", "16"))
+LOW_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_LOW_CPUS", "4"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", f"/tmp/bench_corpus_{N_DOCS}")
 WORK_DIR = "/tmp/bench_index"
@@ -83,7 +89,7 @@ def timed_build(cpus: int) -> tuple[float, dict]:
     catalog = IndexCatalog(root)
     docs = spark.read.parquet(CORPUS_DIR)
     t0 = time.time()
-    manifest = build_index(docs, catalog, resume=False)
+    manifest = build_index(docs, catalog, resume=False, n_docs=N_DOCS)
     elapsed = time.time() - t0
     spark.stop()
     return elapsed, manifest
@@ -130,26 +136,31 @@ def write_baseline_md(result: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     s = result["scaling"]
     ib = result["index_build"]
+    hi = s["high_cpus"]
+    lo = s["low_cpus"]
     md = f"""# BENCH/BASELINE — measured numbers (local-mode stand-in)
 
 North rule: indexing-throughput scaling efficiency >= 0.8 between two
-cluster sizes; sandbox evidence = same job, same input, local[{LOW_CPUS}]
-vs local[{CPUS}] (core ratio {CPUS // LOW_CPUS}x).
+cluster sizes (N vs 4N executors); sandbox evidence = same job, same
+input, local[{lo}] vs local[{hi}] (4x task slots; each slot drives one
+JVM task thread + one Arrow python worker, so the pair needs {2*lo} vs
+{2*hi} of the machine's 32 cores — the largest honest 4x pair here).
+Min of {REPEATS} alternating repetitions per level (shared-host noise).
 
 ## Index build ({N_DOCS} docs, corpus parquet -> postings+stats tables)
 
 | parallelism | build sec | docs/sec |
 |---|---|---|
-| local[{LOW_CPUS}] | {s['t_low_sec']:.1f} | {s['docs_per_sec_low']:.0f} |
-| local[{CPUS}] | {s['t_high_sec']:.1f} | {s['docs_per_sec_high']:.0f} |
+| local[{lo}] | {s['t_low_sec']:.1f} | {s['docs_per_sec_low']:.0f} |
+| local[{hi}] | {s['t_high_sec']:.1f} | {s['docs_per_sec_high']:.0f} |
 
-**Scaling efficiency = (T{LOW_CPUS}/T{CPUS}) / ({CPUS}/{LOW_CPUS}) =
+**Scaling efficiency = (T{lo}/T{hi}) / ({hi}/{lo}) =
 {s['efficiency']:.3f}** (target >= 0.8)
 
 Index stats: avgdl={ib['avgdl']:.1f}, shards={ib['n_shards']},
 postings={ib['total_postings']}, blocks={ib['total_blocks']}.
 
-## BM25 top-10 query latency (50-query reference set, local[{CPUS}])
+## BM25 top-10 query latency (50-query reference set, local[{hi}])
 
 p50 = {result['bm25_p50_sec']:.3f} s/query (block-max DAAT kernel path).
 
@@ -172,14 +183,14 @@ def main() -> None:
     manifest = None
     for _ in range(REPEATS):
         tl, _ = timed_build(LOW_CPUS)
-        th, manifest = timed_build(CPUS)
+        th, manifest = timed_build(HIGH_CPUS)
         t_lows.append(tl)
         t_highs.append(th)
     t_low, t_high = min(t_lows), min(t_highs)
-    p50 = query_p50(CPUS)
+    p50 = query_p50(HIGH_CPUS)
     queries = run_headline(SF_DIR)
 
-    eff = (t_low / t_high) / (CPUS / LOW_CPUS)
+    eff = (t_low / t_high) / (HIGH_CPUS / LOW_CPUS)
     total_postings = sum(v["postings"] for v in manifest["shards"].values())
     total_blocks = sum(v["blocks"] for v in manifest["shards"].values())
     result = {
@@ -197,7 +208,7 @@ def main() -> None:
         },
         "scaling": {
             "low_cpus": LOW_CPUS,
-            "high_cpus": CPUS,
+            "high_cpus": HIGH_CPUS,
             "t_low_sec": round(t_low, 3),
             "t_high_sec": round(t_high, 3),
             "docs_per_sec_low": round(N_DOCS / t_low, 1),

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..analyzer import analyze_series, extract_text_series
 from .catalog import IndexCatalog
-from .varbyte import vb_encode, delta_encode
+from .varbyte import vb_encode, vb_encode_with_sizes, delta_encode
 
 K1 = 1.2
 B = 0.75
@@ -94,18 +94,21 @@ def term_doc_tf(docs: DataFrame, text_col: str = "text", stemming: bool = True) 
                 yield pd.DataFrame({"doc_id": [], "term": [], "tf": [], "doclen": []})
                 continue
             flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-            # stem once per UNIQUE surface token (vocab ≪ token count),
-            # then refactorize on the STEM so forms that collapse to one
-            # stem ("runs","running"→"run") merge into a single tf
-            uniq, inv = np.unique(flat, return_inverse=True)
+            # hash-factorize (pd.factorize is O(n); sort-based np.unique
+            # over object strings was the profile's hot spot), stem once
+            # per UNIQUE surface token, then refactorize on the STEM so
+            # forms that collapse to one stem ("runs","running"→"run")
+            # merge into a single tf
+            inv, uniq = pd.factorize(flat, sort=False)
             if stemming:
                 for u in uniq:
                     if u not in stem_cache:
                         stem_cache[u] = stem(u)
                 surf_stems = np.array([stem_cache[u] for u in uniq], dtype=object)
             else:
-                surf_stems = uniq
-            stems, stem_of_surf = np.unique(surf_stems, return_inverse=True)
+                surf_stems = np.asarray(uniq, dtype=object)
+            stem_of_surf, stems = pd.factorize(surf_stems, sort=False)
+            stems = np.asarray(stems, dtype=object)
             token_stem = stem_of_surf[inv]
             # integer-factorized (doc, stem) pair counting — all C-level
             doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
@@ -151,6 +154,7 @@ def build_index(
     n_shards: int | None = None,
     stemming: bool = True,
     resume: bool = True,
+    n_docs: int | None = None,
 ) -> dict:
     """Full build.  Returns the committed snapshot manifest.
 
@@ -158,12 +162,15 @@ def build_index(
     skipped; only missing shards are (re)built and appended.
 
     One analysis pass: the tokenized (doc_id, term, tf, doclen) set is
-    persisted (memory-and-disk) and feeds doc_stats, term_stats and the
-    posting encode — without this the corpus is re-analyzed per output
-    table (measured 3× build cost).
+    materialized as the catalog's ``tokens`` table and feeds doc_stats,
+    term_stats and the posting encode.  A table (not ``persist()``)
+    because (a) at 10^12 docs the intermediate exceeds any storage
+    memory — columnar-compressed parquet is the only stable home, and
+    (b) it doubles as the analysis checkpoint: a resumed build whose
+    snapshot already committed tokens skips re-analysis entirely.
+    (An 8g-heap persist() of this set caused GC/eviction chaos: phase
+    times swung 2-3× run to run.  NOTES_SCALING.md.)
     """
-    from pyspark import StorageLevel
-
     spark = docs.sparkSession
     t0 = time.time()
 
@@ -179,7 +186,8 @@ def build_index(
         phases[name] = round(time.time() - t_phase, 3)
         t_phase = time.time()
 
-    n_docs = docs.count()
+    if n_docs is None:
+        n_docs = docs.count()
     mark("count")
     snap = catalog.current_snapshot() if resume else None
     if snap:  # shard mapping must stay fixed across resumed builds
@@ -188,60 +196,82 @@ def build_index(
         n_shards = default_n_shards(n_docs)
     shard = _shard_expr(n_docs, n_shards)
 
-    tdf = term_doc_tf(docs, stemming=stemming).persist(StorageLevel.MEMORY_AND_DISK)
-
     done = catalog.committed_shards() if resume else set()
     todo = sorted(set(range(n_shards)) - done)
+    fresh = not resume or not done
 
-    if not resume or not done:
-        # doc_stats: one shuffle on doc_id over distinct-term rows
-        meta_cols = [c for c in ("url", "lang", "warc_ts") if c in cols]
-        doc_stats = tdf.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
-        if meta_cols:
-            doc_stats = doc_stats.join(
-                docs.select("doc_id", *meta_cols), "doc_id", "right"
-            ).na.fill({"doclen": 0})
-        catalog.write(doc_stats.withColumn("shard", shard), "doc_stats",
-                      partition_by=["shard"])
-        mark("analyze_and_doc_stats")
-        term_stats = tdf.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-        )
-        catalog.write(term_stats, "term_stats")
-        mark("term_stats")
+    if fresh or not catalog.exists("tokens"):
+        # narrow map job: analyze + write the tokenized table (no shuffle)
+        catalog.write(term_doc_tf(docs, stemming=stemming), "tokens")
+        mark("analyze_tokens")
+    tdf = catalog.read(spark, "tokens")
 
-    stats = catalog.read(spark, "doc_stats").agg(
-        F.avg("doclen").alias("avgdl")
-    ).collect()[0]
-    avgdl = float(stats["avgdl"] or 0.0)
+    # avgdl = total tokens / total docs — one cheap agg over the tokens
+    # table (bit-identical to averaging per-doc doclen incl. empty docs)
+    tok_sum = tdf.agg(F.sum("tf").alias("s")).collect()[0]["s"]
+    avgdl = float(tok_sum or 0) / n_docs if n_docs else 0.0
     mark("avgdl")
+
+    # doc_stats / term_stats / postings all read the tokens table and
+    # are independent — submit them as concurrent Spark jobs (threads):
+    # the scheduler interleaves their tasks, filling cores a single
+    # stage's tail would leave idle
+    stat_jobs = []
+    if fresh:
+        def _write_doc_stats() -> None:
+            meta_cols = [c for c in ("url", "lang", "warc_ts") if c in cols]
+            doc_stats = tdf.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
+            if meta_cols:
+                doc_stats = doc_stats.join(
+                    docs.select("doc_id", *meta_cols), "doc_id", "right"
+                ).na.fill({"doclen": 0})
+            catalog.write(doc_stats.withColumn("shard", shard), "doc_stats")
+
+        def _write_term_stats() -> None:
+            term_stats = tdf.groupBy("term").agg(
+                F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+            )
+            catalog.write(term_stats, "term_stats")
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(2)
+        stat_jobs = [pool.submit(_write_doc_stats), pool.submit(_write_term_stats)]
 
     if todo:
         tdf_sharded = tdf.withColumn("shard", shard)
         if len(todo) < n_shards:
             tdf_sharded = tdf_sharded.where(F.col("shard").isin(todo))
 
-        def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            parts = list(batches)
-            if not parts:
-                return
-            pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
-            yield _encode_partition_blocks(pdf, avgdl)
+        def encode_partition(batches):
+            import pyarrow as pa
+
+            tbl = pa.Table.from_batches(list(batches))
+            if tbl.num_rows:
+                yield from _encode_partition_arrow(tbl, avgdl)
 
         # hash-repartition on (term, shard): every group lands whole in
-        # one partition; the encoder processes the partition vectorized
-        # (one mapInPandas call), avoiding per-group applyInPandas
-        # overhead — measured 40k pandas slices ≈ the whole encode cost
+        # one partition; the encoder processes the partition vectorized.
+        # mapInArrow (not mapInPandas): the term strings stay in Arrow
+        # buffers and are dictionary-encoded in C++ — materializing 36M
+        # python string objects was the dominant encode cost
         postings = (
             tdf_sharded.repartition(
                 max(n_shards, 2 * spark.sparkContext.defaultParallelism), "term", "shard"
             )
-            .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
+            .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
         )
+        # shard stays a COLUMN (not a directory partition): queries
+        # filter postings by term — parquet row-group stats on shard
+        # suffice for the cogroup, and dir-partitioning multiplied file
+        # count by n_shards for no pruning benefit
         mode = "append" if (resume and done and catalog.exists("postings")) else "overwrite"
-        catalog.write(postings, "postings", partition_by=["shard"], mode=mode)
+        catalog.write(postings, "postings", mode=mode)
         mark("postings")
-    tdf.unpersist()
+    for j in stat_jobs:
+        j.result()
+    if stat_jobs:
+        mark("doc_term_stats_join")
 
     # lineage + metrics per shard (north rule)
     pst = catalog.read(spark, "postings")
@@ -269,48 +299,93 @@ def build_index(
     return catalog.current_snapshot()
 
 
-def _encode_partition_blocks(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
-    """Encode ALL (term, shard) groups in one partition, vectorized:
-    one lexsort, group boundaries via np.unique, then per-block varbyte
-    encode (each encode call itself vectorized over the block)."""
-    terms = pdf["term"].to_numpy()
-    shards = pdf["shard"].to_numpy().astype(np.int64)
-    doc_ids = pdf["doc_id"].to_numpy().astype(np.uint64)
-    tfs = pdf["tf"].to_numpy().astype(np.uint64)
-    dls = pdf["doclen"].to_numpy().astype(np.float64)
+def _encode_partition_arrow(tbl, avgdl: float):
+    """Encode ALL (term, shard) groups in one partition, Arrow-native:
+    dictionary-encode the term column (C++), lexsort int codes, group
+    boundaries via code changes, one whole-partition varbyte pass,
+    per-block slices by byte offset.  Yields pyarrow RecordBatches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    order = np.lexsort((doc_ids, shards, terms))
-    terms, shards, doc_ids, tfs, dls = (
-        terms[order], shards[order], doc_ids[order], tfs[order], dls[order]
+    dict_arr = pc.dictionary_encode(tbl.column("term")).combine_chunks()
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.chunk(0)
+    term_codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    term_dict = dict_arr.dictionary  # pa.StringArray of unique terms
+    shards = tbl.column("shard").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    tfs = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.uint64)
+    dls = tbl.column("doclen").to_numpy(zero_copy_only=False).astype(np.float64)
+
+    order = np.lexsort((doc_ids, shards, term_codes))
+    term_codes, shards, doc_ids, tfs, dls = (
+        term_codes[order], shards[order], doc_ids[order], tfs[order], dls[order]
     )
     tfn = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
 
-    # group boundaries over the (term, shard) key
-    key_change = np.empty(len(terms), dtype=bool)
+    # group boundaries over the (term, shard) key — int comparisons
+    key_change = np.empty(len(term_codes), dtype=bool)
     key_change[0] = True
-    key_change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+    key_change[1:] = (term_codes[1:] != term_codes[:-1]) | (shards[1:] != shards[:-1])
     starts = np.flatnonzero(key_change)
-    ends = np.append(starts[1:], len(terms))
+    ends = np.append(starts[1:], len(term_codes))
 
-    out = {name: [] for name in
-           ("term", "shard", "block_id", "n", "first_doc_id",
-            "last_doc_id", "max_tfn", "doc_ids_vb", "tfs_vb")}
-    for g0, g1 in zip(starts, ends):
-        term = terms[g0]
-        shard_v = int(shards[g0])
-        for bi, lo in enumerate(range(g0, g1, BLOCK_SIZE)):
-            hi = min(lo + BLOCK_SIZE, g1)
-            d = doc_ids[lo:hi]
-            out["term"].append(term)
-            out["shard"].append(shard_v)
-            out["block_id"].append(bi)
-            out["n"].append(hi - lo)
-            out["first_doc_id"].append(int(d[0]))
-            out["last_doc_id"].append(int(d[-1]))
-            out["max_tfn"].append(float(tfn[lo:hi].max()))
-            out["doc_ids_vb"].append(vb_encode(delta_encode(d)))
-            out["tfs_vb"].append(vb_encode(tfs[lo:hi]))
-    return pd.DataFrame(out)
+    # block boundaries: every BLOCK_SIZE entries within each group
+    block_starts_list = [
+        np.arange(g0, g1, BLOCK_SIZE, dtype=np.int64) for g0, g1 in zip(starts, ends)
+    ]
+    bstarts = np.concatenate(block_starts_list)
+    group_of_block = np.repeat(np.arange(len(starts)), [len(x) for x in block_starts_list])
+    bends = np.minimum(bstarts + BLOCK_SIZE, ends[group_of_block])
+    block_ids = (bstarts - starts[group_of_block]) // BLOCK_SIZE
+
+    # delta-encode doc_ids with a reset at every block start, then
+    # varbyte-encode the WHOLE partition in one call and slice blocks
+    # out by byte offset — one numpy pass instead of 2 calls per block
+    deltas = np.empty_like(doc_ids)
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    deltas[bstarts] = doc_ids[bstarts]  # absolute at block starts
+    d_buf, d_sizes = vb_encode_with_sizes(deltas)
+    t_buf, t_sizes = vb_encode_with_sizes(tfs)
+    d_off = np.zeros(len(deltas) + 1, dtype=np.int64)
+    np.cumsum(d_sizes, out=d_off[1:])
+    t_off = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(t_sizes, out=t_off[1:])
+
+    max_tfn_blocks = np.maximum.reduceat(tfn, bstarts)
+    last_idx = bends - 1
+
+    # binary columns built zero-copy-ish: offsets into the shared buffer
+    d_offsets = np.empty(len(bstarts) + 1, dtype=np.int32)
+    d_offsets[:-1] = d_off[bstarts]
+    d_offsets[-1] = d_off[bends[-1]]
+    t_offsets = np.empty(len(bstarts) + 1, dtype=np.int32)
+    t_offsets[:-1] = t_off[bstarts]
+    t_offsets[-1] = t_off[bends[-1]]
+    d_col = pa.BinaryArray.from_buffers(
+        pa.binary(), len(bstarts), [None, pa.py_buffer(d_offsets), pa.py_buffer(d_buf)]
+    )
+    t_col = pa.BinaryArray.from_buffers(
+        pa.binary(), len(bstarts), [None, pa.py_buffer(t_offsets), pa.py_buffer(t_buf)]
+    )
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pc.take(term_dict, pa.array(term_codes[bstarts], type=pa.int64())),
+            pa.array(shards[bstarts].astype(np.int32)),
+            pa.array(block_ids.astype(np.int32)),
+            pa.array((bends - bstarts).astype(np.int32)),
+            pa.array(doc_ids[bstarts].astype(np.int64)),
+            pa.array(doc_ids[last_idx].astype(np.int64)),
+            pa.array(max_tfn_blocks.astype(np.float32)),
+            d_col,
+            t_col,
+        ],
+        names=[
+            "term", "shard", "block_id", "n", "first_doc_id",
+            "last_doc_id", "max_tfn", "doc_ids_vb", "tfs_vb",
+        ],
+    )
+    yield batch
 
 
 def _encode_blocks(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:

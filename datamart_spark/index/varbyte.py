@@ -18,11 +18,16 @@ from __future__ import annotations
 import numpy as np
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Encode uint64 array → varbyte bytes."""
+def vb_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode uint64 array → (varbyte bytes, per-value byte counts).
+
+    The size array lets a caller encode a whole partition in ONE call
+    and slice out sub-ranges (posting blocks) by byte offset — per-call
+    numpy overhead was the index build's hot spot at ~600k block-sized
+    calls (NOTES_SCALING.md)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value: ceil(bitlen/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -47,7 +52,12 @@ def vb_encode(values: np.ndarray) -> bytes:
         rem = rem >> np.uint64(7)
     # set terminator bit on last byte of each value
     out[starts + nbytes - 1] |= 0x80
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Encode uint64 array → varbyte bytes."""
+    return vb_encode_with_sizes(values)[0]
 
 
 def vb_decode(buf: bytes) -> np.ndarray:

@@ -1,0 +1,62 @@
+"""Physical-plan assertions: the optimizations the 100 TB story depends
+on must be visible in `explain`, not assumed.
+
+- postings scan: `term IN (...)` reaches the parquet source
+  (PushedFilters) — only query terms' row groups are read;
+- doc_stats lang/ts filters reach the source too (filter context
+  never scores);
+- the idf map joins as a broadcast, never a shuffle;
+- sort-limit top-k compiles to TakeOrderedAndProject (per-partition
+  partial top-k), not a global Sort.
+"""
+
+import pytest
+
+from datamart_spark.corpus import generate_documents
+from datamart_spark.index import IndexCatalog, build_index
+from datamart_spark.query import bm25_topk_dataframe
+from datamart_spark.query.bm25 import _filtered_doc_stats
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("plan_index"))
+    cat = IndexCatalog(root)
+    build_index(generate_documents(spark, 400), cat, n_shards=4)
+    return cat
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_postings_term_filter_pushed(spark, catalog):
+    from pyspark.sql import functions as F
+
+    post = catalog.read(spark, "postings").where(F.col("term").isin(["data", "spark"]))
+    plan = _plan(post)
+    assert "PushedFilters" in plan and "In(term" in plan, plan
+
+
+def test_doc_stats_filters_pushed(spark, catalog):
+    ds = _filtered_doc_stats(spark, catalog, lang="en")
+    plan = _plan(ds)
+    assert "PushedFilters" in plan and "lang" in plan
+
+
+def test_bm25_dataframe_uses_broadcast_and_topk(spark, catalog):
+    df = bm25_topk_dataframe(spark, catalog, "the", k=10)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_column_pruning_on_postings(spark, catalog):
+    post = catalog.read(spark, "postings").select("term", "n")
+    plan = _plan(post)
+    # ReadSchema must not include the heavy varbyte payload columns
+    assert "doc_ids_vb" not in plan.split("ReadSchema")[-1]
