@@ -155,6 +155,7 @@ def build_index(
     stemming: bool = True,
     resume: bool = True,
     n_docs: int | None = None,
+    only_shards: list[int] | None = None,
 ) -> dict:
     """Full build.  Returns the committed snapshot manifest.
 
@@ -197,7 +198,10 @@ def build_index(
     shard = _shard_expr(n_docs, n_shards)
 
     done = catalog.committed_shards() if resume else set()
-    todo = sorted(set(range(n_shards)) - done)
+    todo = set(range(n_shards)) - done
+    if only_shards is not None:  # bounded incremental run (checkpointed)
+        todo &= set(only_shards)
+    todo = sorted(todo)
     fresh = not resume or not done
 
     if fresh or not catalog.exists("tokens"):

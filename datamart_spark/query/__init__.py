@@ -1,2 +1,3 @@
 from .bm25 import bm25_topk_dataframe  # noqa: F401
+from .search import search  # noqa: F401
 from .wand import bm25_topk_blockmax  # noqa: F401

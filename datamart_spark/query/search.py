@@ -1,0 +1,49 @@
+"""Top-level search facade — the engine's analog of the reference's
+``POST /api/v1/search`` (apiserver/apiserver/search/__init__.py:429-604).
+
+Composes, in reference order: query analysis (same analyzer as index
+time) → non-scoring filter context (lang equality, warc_ts range —
+search/__init__.py:79-105,185-256) → BM25 scoring with AND semantics
+(operator:'and', search/__init__.py:67) → top-k (k=50 default,
+search/base.py:1) → metadata hydration (the reference fetches each
+hit's full document via es.get, join.py:530; here one broadcast-able
+join against doc_stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..index.catalog import IndexCatalog
+from .wand import bm25_topk_blockmax
+
+TOP_K_SIZE = 50  # reference search/base.py:1
+
+
+def search(
+    spark: SparkSession,
+    catalog: IndexCatalog,
+    query: str,
+    k: int = TOP_K_SIZE,
+    lang: str | None = None,
+    ts_lo=None,
+    ts_hi=None,
+    or_mode: bool = False,
+) -> DataFrame:
+    """Ranked search returning (doc_id, url, lang, warc_ts, score)."""
+    hits = bm25_topk_blockmax(
+        spark, catalog, query, k=k, lang=lang, ts_lo=ts_lo, ts_hi=ts_hi,
+        or_mode=or_mode,
+    )
+    meta_cols = [
+        c for c in ("url", "lang", "warc_ts")
+        if c in catalog.read(spark, "doc_stats").columns
+    ]
+    if not meta_cols:
+        return hits.orderBy(F.desc("score"), F.asc("doc_id"))
+    meta = catalog.read(spark, "doc_stats").select("doc_id", *meta_cols)
+    return (
+        hits.join(meta, "doc_id")
+        .select("doc_id", *meta_cols, "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
