@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..analyzer import analyze_series, extract_text_series
 from .catalog import IndexCatalog
-from .varbyte import vb_encode, vb_encode_with_sizes, delta_encode
+from .varbyte import vb_encode_with_sizes
 
 K1 = 1.2
 B = 0.75
@@ -78,17 +78,52 @@ def extract_text(docs: DataFrame, html_col: str = "html", out_col: str = "text")
     return docs.withColumn(out_col, _extract(F.col(html_col)))
 
 
-def term_doc_tf(docs: DataFrame, text_col: str = "text", stemming: bool = True) -> DataFrame:
+def term_doc_tf(
+    docs: DataFrame,
+    text_col: str = "text",
+    stemming: bool = True,
+    title_boost: int | None = None,
+) -> DataFrame:
     """documents → (doc_id, term, tf, doclen); tf aggregated inside the
-    Arrow batch (map-side combine before any shuffle)."""
+    Arrow batch (map-side combine before any shuffle).
+
+    ``title_boost``: BM25F-style field boost — the reference queries
+    `multi_match` with `id^10` (apiserver/apiserver/search/__init__.py:
+    65-77); the analog here treats the document's first line (the page
+    title in the corpus layout) as a boosted field via weighted field
+    concatenation: tf' = tf_body + boost·tf_title, doclen' likewise.
+    Integer boost keeps tf varbyte-encodable; rank identity is defined
+    against the same formula in the oracle."""
 
     def analyze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..porter2 import stem
 
         stem_cache: dict[str, str] = {}
         for b in batches:
-            toks = analyze_series(b[text_col], stemming=False)  # stem below, per unique
-            toks = toks.map(lambda ts: ts if ts is not None else [])
+            if title_boost is None:
+                toks = analyze_series(b[text_col], stemming=False)
+                toks = toks.map(lambda ts: ts if ts is not None else [])
+                weights_per_doc = None
+            else:
+                split = b[text_col].fillna("").str.split("\n", n=1)
+                titles = split.map(lambda p: p[0] if p else "")
+                bodies = split.map(lambda p: p[1] if p and len(p) > 1 else "")
+                t_toks = analyze_series(titles, stemming=False).map(
+                    lambda ts: ts if ts is not None else []
+                )
+                b_toks = analyze_series(bodies, stemming=False).map(
+                    lambda ts: ts if ts is not None else []
+                )
+                toks = t_toks.combine(b_toks, lambda a, c: a + c)
+                weights_per_doc = [
+                    np.concatenate(
+                        [
+                            np.full(len(a), title_boost, dtype=np.int64),
+                            np.ones(len(c), dtype=np.int64),
+                        ]
+                    )
+                    for a, c in zip(t_toks, b_toks)
+                ]
             lens = toks.map(len).to_numpy(dtype=np.int64)
             if lens.sum() == 0:
                 yield pd.DataFrame({"doc_id": [], "term": [], "tf": [], "doclen": []})
@@ -114,17 +149,26 @@ def term_doc_tf(docs: DataFrame, text_col: str = "text", stemming: bool = True) 
             doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
             n_terms = len(stems)
             pair_codes = doc_idx * n_terms + token_stem
-            pair_uniq, pair_counts = np.unique(pair_codes, return_counts=True)
+            if weights_per_doc is None:
+                pair_uniq, pair_counts = np.unique(pair_codes, return_counts=True)
+                doclens = lens
+            else:
+                w = np.concatenate(weights_per_doc)
+                pair_uniq, pair_inv = np.unique(pair_codes, return_inverse=True)
+                pair_counts = np.zeros(pair_uniq.size, dtype=np.int64)
+                np.add.at(pair_counts, pair_inv, w)
+                doclens = np.array(
+                    [int(ws.sum()) for ws in weights_per_doc], dtype=np.int64
+                )
             out_doc_idx = pair_uniq // n_terms
             out_term_idx = pair_uniq % n_terms
-            stemmed = stems
             doc_ids = b["doc_id"].to_numpy()
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids[out_doc_idx],
-                    "term": stemmed[out_term_idx],
+                    "term": stems[out_term_idx],
                     "tf": pair_counts.astype(np.int32),
-                    "doclen": lens[out_doc_idx].astype(np.int32),
+                    "doclen": doclens[out_doc_idx].astype(np.int32),
                 }
             )
 
@@ -156,6 +200,7 @@ def build_index(
     resume: bool = True,
     n_docs: int | None = None,
     only_shards: list[int] | None = None,
+    title_boost: int | None = None,
 ) -> dict:
     """Full build.  Returns the committed snapshot manifest.
 
@@ -206,7 +251,9 @@ def build_index(
 
     if fresh or not catalog.exists("tokens"):
         # narrow map job: analyze + write the tokenized table (no shuffle)
-        catalog.write(term_doc_tf(docs, stemming=stemming), "tokens")
+        catalog.write(
+            term_doc_tf(docs, stemming=stemming, title_boost=title_boost), "tokens"
+        )
         mark("analyze_tokens")
     tdf = catalog.read(spark, "tokens")
 
@@ -293,6 +340,7 @@ def build_index(
         "n_shards": n_shards,
         "avgdl": avgdl,
         "stemming": stemming,
+        "title_boost": title_boost,
         "shards": per_shard,
         "built_shards_this_run": todo,
         "build_seconds": elapsed,
@@ -390,35 +438,3 @@ def _encode_partition_arrow(tbl, avgdl: float):
         ],
     )
     yield batch
-
-
-def _encode_blocks(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
-    """One (term, shard) group → fixed-size varbyte blocks + block-max."""
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.uint64)
-    tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
-    dls = pdf["doclen"].to_numpy()[order].astype(np.float64)
-    term = pdf["term"].iat[0]
-    shard = int(pdf["shard"].iat[0])
-
-    tfn = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-
-    rows = []
-    nb = (len(doc_ids) + BLOCK_SIZE - 1) // BLOCK_SIZE
-    for bi in range(nb):
-        lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, len(doc_ids))
-        d, t = doc_ids[lo:hi], tfs[lo:hi]
-        rows.append(
-            {
-                "term": term,
-                "shard": shard,
-                "block_id": bi,
-                "n": hi - lo,
-                "first_doc_id": int(d[0]),
-                "last_doc_id": int(d[-1]),
-                "max_tfn": float(tfn[lo:hi].max()),
-                "doc_ids_vb": vb_encode(delta_encode(d)),
-                "tfs_vb": vb_encode(t),
-            }
-        )
-    return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])

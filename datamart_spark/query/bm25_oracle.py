@@ -26,8 +26,17 @@ B = 0.75
 
 
 class Bm25Oracle:
-    def __init__(self, docs: pd.DataFrame, stemming: bool = True):
-        """docs: DataFrame with doc_id, text (+ optional lang, warc_ts)."""
+    def __init__(
+        self,
+        docs: pd.DataFrame,
+        stemming: bool = True,
+        title_boost: int | None = None,
+    ):
+        """docs: DataFrame with doc_id, text (+ optional lang, warc_ts).
+
+        ``title_boost``: BM25F weighted-field-concatenation semantics,
+        identical to index/build.py — the first text line is the title;
+        tf' = tf_body + boost·tf_title, doclen' likewise."""
         self.stemming = stemming
         cache = StemCache() if stemming else None
         self.meta = docs.set_index("doc_id")
@@ -35,10 +44,22 @@ class Bm25Oracle:
         self.df: Counter = Counter()
         self.doclen: dict[int, int] = {}
         for doc_id, text in zip(docs["doc_id"], docs["text"]):
-            toks = analyze_str(text, cache)
-            c = Counter(toks)
+            if title_boost is None:
+                toks = analyze_str(text, cache)
+                c = Counter(toks)
+                dl = len(toks)
+            else:
+                parts = (text or "").split("\n", 1)
+                t_toks = analyze_str(parts[0], cache)
+                b_toks = analyze_str(parts[1] if len(parts) > 1 else "", cache)
+                c = Counter()
+                for t in t_toks:
+                    c[t] += title_boost
+                for t in b_toks:
+                    c[t] += 1
+                dl = title_boost * len(t_toks) + len(b_toks)
             self.tf[int(doc_id)] = c
-            self.doclen[int(doc_id)] = len(toks)
+            self.doclen[int(doc_id)] = dl
             for t in c:
                 self.df[t] += 1
         self.n_docs = len(self.tf)
