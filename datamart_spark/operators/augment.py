@@ -42,13 +42,16 @@ _NUMERIC_TYPES = (
 DEFAULT_NUMERIC_AGGS = ("mean", "sum", "max", "min")
 
 
-def _normalize_key(df: DataFrame, col: str) -> DataFrame:
-    """Key normalization per augmentation.py:93-131: lowercase strings;
-    other types join as-is (Spark casts consistently)."""
+def _norm_key_col(df: DataFrame, col: str):
+    """Normalized join-key EXPRESSION per augmentation.py:93-131: string
+    keys compare lowercased.  Returned as a derived column so the
+    original column values pass through to the output untouched — the
+    reference lowercases only the join index (set_data_index with
+    drop=False, augmentation.py:122-126) and keeps row values intact."""
     dt = dict(df.dtypes)[col]
     if dt == "string":
-        return df.withColumn(col, F.lower(F.trim(F.col(col))))
-    return df
+        return F.lower(F.col(col))
+    return F.col(col)
 
 
 def _agg_expr(fn: str, col: str):
@@ -85,20 +88,25 @@ def join_augment(
     ⇒ perfectly distributed, no skew.
     """
     left = input_df.withColumn(UNIQUE_INDEX_KEY, F.monotonically_increasing_id())
-    for k in left_keys:
-        left = _normalize_key(left, k)
+    # join on derived normalized key columns (like temporal_aligned_join's
+    # __ts_l__) so original key values survive into the output
+    lnorm = [f"__jk_l_{i}__" for i in range(len(left_keys))]
+    rnorm = [f"__jk_r_{i}__" for i in range(len(right_keys))]
+    for nk, k in zip(lnorm, left_keys):
+        left = left.withColumn(nk, _norm_key_col(left, k))
     right = companion
-    for k in right_keys:
-        right = _normalize_key(right, k)
+    for nk, k in zip(rnorm, right_keys):
+        right = right.withColumn(nk, _norm_key_col(right, k))
+    right = right.drop(*right_keys)
     # avoid collisions: prefix companion non-key columns (rsuffix analog)
-    value_cols = [c for c in right.columns if c not in right_keys]
+    value_cols = [c for c in right.columns if c not in rnorm]
     renames = {c: f"r_{c}" if c in left.columns else c for c in value_cols}
     for old, new in renames.items():
         if old != new:
             right = right.withColumnRenamed(old, new)
     value_cols = [renames[c] for c in value_cols]
 
-    cond = [left[a] == right[b] for a, b in zip(left_keys, right_keys)]
+    cond = [left[a] == right[b] for a, b in zip(lnorm, rnorm)]
     if broadcast_companion:
         right = F.broadcast(right)
     joined = left.join(right, cond, how)
@@ -116,7 +124,7 @@ def join_augment(
                 else ("first",)
             )
         aggs += [_agg_expr(fn, c) for fn in fns]
-    input_cols = [c for c in left.columns if c != UNIQUE_INDEX_KEY]
+    input_cols = list(input_df.columns)  # original values, un-normalized
     out = joined.groupBy(UNIQUE_INDEX_KEY, *[left[c] for c in input_cols]).agg(*aggs)
     return out.drop(UNIQUE_INDEX_KEY)
 

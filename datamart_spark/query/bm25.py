@@ -76,28 +76,46 @@ def decode_postings_df(postings: DataFrame) -> DataFrame:
     return postings.mapInPandas(decode, schema=_DECODED_SCHEMA)
 
 
-_DF_CACHE: dict[tuple[str, int], dict[str, int]] = {}
+# Hot-term df cache: bounded, keyed per committed snapshot.  Keyed on
+# committed_at (not just the sequence) because catalog.drop() + rebuild
+# restarts sequence numbering at 1 — a long-lived driver must never
+# serve the old index's df map against the new index.
+_DF_CACHE: dict[tuple[str, int, float], dict[str, int]] = {}
+_DF_CACHE_MAX_TERMS = 100_000
 
 
 def idf_map(spark: SparkSession, catalog: IndexCatalog, terms: list[str]) -> dict[str, float]:
-    """Per-term idf from term_stats.  The full df map is cached in the
-    driver per (catalog, snapshot) — term_stats is O(vocabulary), tiny
-    next to the corpus, and serving many queries from one lookup table
-    is exactly what the reference's ES node does with its term
-    dictionary."""
+    """Per-term idf from term_stats, fetching ONLY the query's terms
+    (``term IN (...)`` is pushed into the parquet scan).  Driver memory
+    is O(query terms), never O(vocabulary) — on a Common-Crawl-scale
+    corpus the surface vocabulary (typos, urls, hashes) is 10^8+ terms
+    and collecting it would OOM the driver.  A bounded per-snapshot
+    cache keeps hot terms resident across queries (the analog of the
+    ES node's in-memory term dictionary for frequent terms)."""
     snap = catalog.current_snapshot()
     n_docs = snap["n_docs"]
-    key = (catalog.root, snap["sequence"])
-    dfs = _DF_CACHE.get(key)
-    if dfs is None:
-        rows = catalog.read(spark, "term_stats").select("term", "df").collect()
-        dfs = {r["term"]: r["df"] for r in rows}
+    key = (catalog.root, snap["sequence"], snap.get("committed_at", 0.0))
+    cache = _DF_CACHE.get(key)
+    if cache is None:
         _DF_CACHE.clear()  # one catalog at a time; avoid unbounded growth
-        _DF_CACHE[key] = dfs
+        cache = _DF_CACHE[key] = {}
+    missing = [t for t in terms if t not in cache]
+    if missing:
+        rows = (
+            catalog.read(spark, "term_stats")
+            .where(F.col("term").isin(missing))
+            .select("term", "df")
+            .collect()
+        )
+        found = {r["term"]: r["df"] for r in rows}
+        if len(cache) + len(missing) > _DF_CACHE_MAX_TERMS:
+            cache.clear()
+        for t in missing:
+            cache[t] = found.get(t, 0)  # df=0 cached too (negative lookups)
     return {
-        t: math.log(1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
+        t: math.log(1.0 + (n_docs - cache[t] + 0.5) / (cache[t] + 0.5))
         for t in terms
-        if t in dfs
+        if cache[t] > 0
     }
 
 

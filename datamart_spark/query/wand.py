@@ -200,8 +200,12 @@ def _shard_topk_or(by_term, ds_ids, ds_len, idfs, avgdl, k, filtered, empty) -> 
 
 def _local_topk(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
     if doc_ids.size > k:
-        part = np.argpartition(-scores, k - 1)[: k * 2]  # margin for ties
-        doc_ids, scores = doc_ids[part], scores[part]
+        # keep every doc whose score ties the k-th — an arbitrary k*2
+        # truncation could drop boundary-tied docs with small doc_ids,
+        # violating the pinned (score desc, doc_id asc) tie-break
+        kth = -np.partition(-scores, k - 1)[k - 1]
+        keep = scores >= kth
+        doc_ids, scores = doc_ids[keep], scores[keep]
     order = np.lexsort((doc_ids, -scores))[:k]
     return pd.DataFrame(
         {"doc_id": doc_ids[order].astype(np.int64), "score": scores[order]}

@@ -203,7 +203,7 @@ bits AS (SELECT doc_id, b.b,
                 sum(CASE WHEN (({_H_SQL.format(x='term')}) >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
          FROM td CROSS JOIN (SELECT unnest(range(16)) AS b) b
          GROUP BY doc_id, b.b)
-SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::bigint << b) ELSE 0 END) AS simhash
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::bigint << b) ELSE 0 END)::bigint AS simhash
 FROM bits GROUP BY doc_id ORDER BY doc_id
 """,
 )

@@ -39,14 +39,18 @@ def test_join_augment_default_aggs(spark, people, salaries):
     # default numeric agg set mean/sum/max/min named "<agg> <col>"
     assert {"mean salary", "sum salary", "max salary", "min salary", "first tag"} <= cols
     got = {r["who"]: r for r in out.collect()}
-    assert got["alice"]["mean salary"] == pytest.approx(150.0)
-    assert got["alice"]["sum salary"] == pytest.approx(300.0)
-    assert got["alice"]["max salary"] == 200.0
-    assert got["alice"]["min salary"] == 100.0
-    assert got["alice"]["first tag"] in ("x", "y")
+    # original key values pass through un-mutated (the reference lowercases
+    # only the join index, set_data_index drop=False — augmentation.py:122-126);
+    # matching is still case-insensitive ("Alice" joins "alice")
+    assert set(got) == {"Alice", "Bob", "Cara"}
+    assert got["Alice"]["mean salary"] == pytest.approx(150.0)
+    assert got["Alice"]["sum salary"] == pytest.approx(300.0)
+    assert got["Alice"]["max salary"] == 200.0
+    assert got["Alice"]["min salary"] == 100.0
+    assert got["Alice"]["first tag"] in ("x", "y")
     # left join keeps unmatched input rows, aggs null (sum null-if-all-null)
-    assert got["cara"]["sum salary"] is None
-    assert got["cara"]["mean salary"] is None
+    assert got["Cara"]["sum salary"] is None
+    assert got["Cara"]["mean salary"] is None
     # exactly one output row per input row (A1 de-duplication)
     assert out.count() == people.count()
 
@@ -60,8 +64,8 @@ def test_join_augment_custom_aggs(spark, people, salaries):
         agg_functions={"salary": ["count", "sum"]},
     )
     got = {r["who"]: r for r in out.collect()}
-    assert got["alice"]["count salary"] == 2
-    assert got["cara"]["count salary"] == 0  # count = non-null count
+    assert got["Alice"]["count salary"] == 2
+    assert got["Cara"]["count salary"] == 0  # count = non-null count
 
 
 def test_join_augment_inner(spark, people, salaries):
