@@ -1,4 +1,4 @@
-"""Inverted-index build: documents → doc_stats / term_stats / postings.
+"""Inverted-index build: documents → tokens / doc_stats / term_stats / postings.
 
 Reference semantics: the reference ships every dataset's text fields to
 Elasticsearch which builds the inverted index internally (reference:
@@ -6,12 +6,15 @@ lib_core/datamart_core/common.py:209-225 → ES; analyzer
 coordinator/coordinator/elasticsearch.yml:2-20).  Here the build is an
 explicit Spark job designed for 10^12 docs:
 
-Shuffle plan (exactly two wide exchanges over token-scale data):
+Shuffle plan (exactly ONE wide exchange over token-scale data):
   1. mapInPandas analysis emits per-doc *aggregated* (term, tf) pairs —
      map-side combine inside the Arrow batch, so the shuffle carries
-     distinct-terms-per-doc rows, not raw tokens.
-  2. repartition by (term, shard) → applyInPandas encodes posting
-     blocks.  ``shard = doc_id * S / n_docs`` is simultaneously
+     distinct-terms-per-doc rows, not raw tokens.  The same pass emits
+     one SENTINEL row per document (term NULL) carrying doclen + the
+     profiled metadata columns — so doc_stats is a narrow filter of the
+     tokens table (NO doc_id shuffle, NO join back to the corpus).
+  2. repartition by (term, shard) → mapInArrow encodes posting blocks.
+     ``shard = doc_id // width`` is simultaneously
      (a) the *salt* that splits stopword-scale terms across S reducers
      (north rule skew handling: "the" never lands on one task), and
      (b) contiguous doc ranges, so at query time every term's postings
@@ -20,16 +23,31 @@ Shuffle plan (exactly two wide exchanges over token-scale data):
      document-partitioned query layout Elasticsearch itself scales
      with).
 
-doc_stats / term_stats are groupBy aggregations (partial aggregation is
-automatic).  Posting blocks: 128 entries, docID delta + varbyte, block
-max of the BM25 tf-normalization term (block-max WAND metadata).
+term_stats is DERIVED from the postings blocks (df = Σ n, cf = Σ
+tf_sum over a table of block summaries) — never a second shuffle over
+the token set; it always reflects exactly the committed posting state,
+including partial/incremental builds.
 
-At 100 TB: the only driver-side values are N, avgdl and the high-df
-term list — O(1) and O(#stopwords).  Nothing collects posting data.
+Posting blocks: 128 entries, docID delta + varbyte, and corner-bound
+skip metadata (max_tf, min_dl) per block.  The BM25 tf-normalization
+upper bound tfn ≤ max_tf/(max_tf + k1·(1−b + b·min_dl/avgdl)) is
+computed at QUERY time — storing (max_tf, min_dl) instead of a baked
+max_tfn keeps the encoder independent of avgdl, so posting encode can
+start the moment analysis lands (no stats barrier) and stays valid
+when the corpus grows (avgdl drift never invalidates committed blocks).
+
+All tables are hash-free doc-range partitioned by ``shard`` (the
+Iceberg partition-spec analog): resume, corpus growth, and per-dataset
+delete are all per-shard-partition rewrites with per-shard lineage in
+the snapshot manifest.
+
+At 100 TB: the only driver-side values are N, avgdl and per-shard
+lineage counts — O(#shards).  Nothing collects posting or token data.
 """
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Iterator
 
@@ -45,14 +63,14 @@ K1 = 1.2
 B = 0.75
 BLOCK_SIZE = 128
 
-_TD_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("term", T.StringType(), False),
-        T.StructField("tf", T.IntegerType(), False),
-        T.StructField("doclen", T.IntegerType(), False),
-    ]
-)
+#: corpus metadata columns carried on sentinel rows into doc_stats
+META_COLS = ("url", "lang", "warc_ts")
+
+_META_TYPES = {
+    "url": T.StringType(),
+    "lang": T.StringType(),
+    "warc_ts": T.TimestampType(),
+}
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -62,7 +80,9 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("n", T.IntegerType(), False),
         T.StructField("first_doc_id", T.LongType(), False),
         T.StructField("last_doc_id", T.LongType(), False),
-        T.StructField("max_tfn", T.FloatType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("min_dl", T.IntegerType(), False),
+        T.StructField("tf_sum", T.LongType(), False),
         T.StructField("doc_ids_vb", T.BinaryType(), False),
         T.StructField("tfs_vb", T.BinaryType(), False),
     ]
@@ -78,14 +98,35 @@ def extract_text(docs: DataFrame, html_col: str = "html", out_col: str = "text")
     return docs.withColumn(out_col, _extract(F.col(html_col)))
 
 
+def _tokens_schema(meta_cols: list[str]) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("term", T.StringType(), True),  # NULL ⇒ sentinel row
+            T.StructField("tf", T.IntegerType(), False),
+            T.StructField("doclen", T.IntegerType(), False),
+        ]
+        + [T.StructField(c, _META_TYPES[c], True) for c in meta_cols]
+    )
+
+
+# per-worker stem cache, shared across tasks/batches (bounded): the
+# stem of a surface form is a pure function, and corpus vocabulary is
+# tiny next to token count, so hit-rate across partitions ≈ 100%
+_STEM_CACHE: dict[str, str] = {}
+_STEM_CACHE_MAX = 2_000_000
+
+
 def term_doc_tf(
     docs: DataFrame,
     text_col: str = "text",
     stemming: bool = True,
     title_boost: int | None = None,
+    meta_cols: list[str] | None = None,
 ) -> DataFrame:
-    """documents → (doc_id, term, tf, doclen); tf aggregated inside the
-    Arrow batch (map-side combine before any shuffle).
+    """documents → token rows (doc_id, term, tf, doclen) + one sentinel
+    row per doc (term NULL, doclen + metadata columns); tf aggregated
+    inside the Arrow batch (map-side combine before any shuffle).
 
     ``title_boost``: BM25F-style field boost — the reference queries
     `multi_match` with `id^10` (apiserver/apiserver/search/__init__.py:
@@ -94,11 +135,13 @@ def term_doc_tf(
     concatenation: tf' = tf_body + boost·tf_title, doclen' likewise.
     Integer boost keeps tf varbyte-encodable; rank identity is defined
     against the same formula in the oracle."""
+    if meta_cols is None:
+        meta_cols = [c for c in META_COLS if c in docs.columns]
+    schema = _tokens_schema(meta_cols)
 
     def analyze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..porter2 import stem
 
-        stem_cache: dict[str, str] = {}
         for b in batches:
             if title_boost is None:
                 toks = analyze_series(b[text_col], stemming=False)
@@ -125,61 +168,87 @@ def term_doc_tf(
                     for a, c in zip(t_toks, b_toks)
                 ]
             lens = toks.map(len).to_numpy(dtype=np.int64)
+            doc_ids = b["doc_id"].to_numpy()
             if lens.sum() == 0:
-                yield pd.DataFrame({"doc_id": [], "term": [], "tf": [], "doclen": []})
-                continue
-            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-            # hash-factorize (pd.factorize is O(n); sort-based np.unique
-            # over object strings was the profile's hot spot), stem once
-            # per UNIQUE surface token, then refactorize on the STEM so
-            # forms that collapse to one stem ("runs","running"→"run")
-            # merge into a single tf
-            inv, uniq = pd.factorize(flat, sort=False)
-            if stemming:
-                for u in uniq:
-                    if u not in stem_cache:
-                        stem_cache[u] = stem(u)
-                surf_stems = np.array([stem_cache[u] for u in uniq], dtype=object)
-            else:
-                surf_stems = np.asarray(uniq, dtype=object)
-            stem_of_surf, stems = pd.factorize(surf_stems, sort=False)
-            stems = np.asarray(stems, dtype=object)
-            token_stem = stem_of_surf[inv]
-            # integer-factorized (doc, stem) pair counting — all C-level
-            doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
-            n_terms = len(stems)
-            pair_codes = doc_idx * n_terms + token_stem
-            if weights_per_doc is None:
-                pair_uniq, pair_counts = np.unique(pair_codes, return_counts=True)
+                out_doc_idx = np.zeros(0, dtype=np.int64)
+                stems = np.zeros(0, dtype=object)
+                out_term_idx = pair_counts = out_doc_idx
                 doclens = lens
             else:
-                w = np.concatenate(weights_per_doc)
-                pair_uniq, pair_inv = np.unique(pair_codes, return_inverse=True)
-                pair_counts = np.zeros(pair_uniq.size, dtype=np.int64)
-                np.add.at(pair_counts, pair_inv, w)
-                doclens = np.array(
-                    [int(ws.sum()) for ws in weights_per_doc], dtype=np.int64
-                )
-            out_doc_idx = pair_uniq // n_terms
-            out_term_idx = pair_uniq % n_terms
-            doc_ids = b["doc_id"].to_numpy()
-            yield pd.DataFrame(
+                flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                # hash-factorize (pd.factorize is O(n); sort-based np.unique
+                # over object strings was the profile's hot spot), stem once
+                # per UNIQUE surface token, then refactorize on the STEM so
+                # forms that collapse to one stem ("runs","running"→"run")
+                # merge into a single tf
+                inv, uniq = pd.factorize(flat, sort=False)
+                if stemming:
+                    if len(_STEM_CACHE) > _STEM_CACHE_MAX:
+                        _STEM_CACHE.clear()
+                    for u in uniq:
+                        if u not in _STEM_CACHE:
+                            _STEM_CACHE[u] = stem(u)
+                    surf_stems = np.array([_STEM_CACHE[u] for u in uniq], dtype=object)
+                else:
+                    surf_stems = np.asarray(uniq, dtype=object)
+                stem_of_surf, stems = pd.factorize(surf_stems, sort=False)
+                stems = np.asarray(stems, dtype=object)
+                token_stem = stem_of_surf[inv]
+                # integer-factorized (doc, stem) pair counting — all C-level
+                doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+                n_terms = len(stems)
+                pair_codes = doc_idx * n_terms + token_stem
+                if weights_per_doc is None:
+                    pair_uniq, pair_counts = np.unique(pair_codes, return_counts=True)
+                    doclens = lens
+                else:
+                    w = np.concatenate(weights_per_doc)
+                    pair_uniq, pair_inv = np.unique(pair_codes, return_inverse=True)
+                    pair_counts = np.zeros(pair_uniq.size, dtype=np.int64)
+                    np.add.at(pair_counts, pair_inv, w)
+                    doclens = np.array(
+                        [int(ws.sum()) for ws in weights_per_doc], dtype=np.int64
+                    )
+                out_doc_idx = pair_uniq // n_terms
+                out_term_idx = pair_uniq % n_terms
+
+            # one frame: token rows (doclen carried — the posting encoder
+            # derives the per-block min_dl corner bound from it; meta
+            # columns null) followed by sentinel rows (one per doc, term
+            # NULL, real doclen + metadata)
+            n_tok = out_doc_idx.size
+            pdf = pd.DataFrame(
                 {
-                    "doc_id": doc_ids[out_doc_idx],
-                    "term": stems[out_term_idx],
-                    "tf": pair_counts.astype(np.int32),
-                    "doclen": doclens[out_doc_idx].astype(np.int32),
+                    "doc_id": np.concatenate([doc_ids[out_doc_idx], doc_ids]),
+                    "term": np.concatenate(
+                        [stems[out_term_idx], np.full(len(b), None, dtype=object)]
+                    ),
+                    "tf": np.concatenate(
+                        [pair_counts, np.zeros(len(b), dtype=np.int64)]
+                    ).astype(np.int32),
+                    "doclen": np.concatenate(
+                        [doclens[out_doc_idx], doclens]
+                    ).astype(np.int32),
                 }
             )
+            for c in meta_cols:
+                pdf[c] = pd.concat(
+                    [pd.Series([None] * n_tok, dtype=b[c].dtype), b[c]],
+                    ignore_index=True,
+                )
+            yield pdf
 
-    return docs.select("doc_id", text_col).mapInPandas(analyze_batches, schema=_TD_SCHEMA)
+    return docs.select("doc_id", text_col, *meta_cols).mapInPandas(
+        analyze_batches, schema=schema
+    )
 
 
-def _shard_expr(n_docs: int, n_shards: int):
+def _shard_col(width: int):
     """Contiguous doc-range shard: monotone in doc_id (block-max WAND
-    scans shards independently)."""
-    width = max(1, (n_docs + n_shards - 1) // n_shards)
-    return F.least(F.lit(n_shards - 1), (F.col("doc_id") / width).cast("int"))
+    scans shards independently).  NOT clamped — doc_ids past the last
+    committed range map to NEW shards, which is how corpus growth
+    appends partitions instead of corrupting committed ones."""
+    return (F.col("doc_id") / width).cast("int")
 
 
 def default_n_shards(n_docs: int, docs_per_shard: int = 250_000) -> int:
@@ -202,27 +271,30 @@ def build_index(
     only_shards: list[int] | None = None,
     title_boost: int | None = None,
 ) -> dict:
-    """Full build.  Returns the committed snapshot manifest.
+    """Full or incremental build.  Returns the committed snapshot.
 
-    Resumable: shards already present in the current snapshot are
-    skipped; only missing shards are (re)built and appended.
-
-    One analysis pass: the tokenized (doc_id, term, tf, doclen) set is
-    materialized as the catalog's ``tokens`` table and feeds doc_stats,
-    term_stats and the posting encode.  A table (not ``persist()``)
-    because (a) at 10^12 docs the intermediate exceeds any storage
-    memory — columnar-compressed parquet is the only stable home, and
-    (b) it doubles as the analysis checkpoint: a resumed build whose
-    snapshot already committed tokens skips re-analysis entirely.
-    (An 8g-heap persist() of this set caused GC/eviction chaos: phase
-    times swung 2-3× run to run.  NOTES_SCALING.md.)
+    Resumable (north rule: per-partition lineage + metrics):
+    - shards already committed in the current snapshot are skipped;
+      only missing shards are built (validated against the actual
+      partition directories, not just the manifest);
+    - a GROWN corpus (n_docs > snapshot n_docs) re-analyzes only the
+      delta docs plus the boundary shard (the one partial doc-range
+      shard that new docs extend) and appends new shard partitions —
+      the shard width is pinned in the snapshot so committed doc→shard
+      assignments never change;
+    - analysis is checkpointed as the catalog's ``tokens`` table: a
+      resumed build whose snapshot already covers the corpus skips
+      re-analysis entirely.  A table (not ``persist()``) because at
+      10^12 docs the intermediate exceeds any storage memory, and an
+      8g-heap persist() of this set caused GC/eviction chaos
+      (NOTES_SCALING.md).
     """
     spark = docs.sparkSession
     t0 = time.time()
 
-    cols = docs.columns
-    if "doc_id" not in cols:
+    if "doc_id" not in docs.columns:
         raise ValueError("documents must carry doc_id (assign before build)")
+    meta_cols = [c for c in META_COLS if c in docs.columns]
 
     phases: dict[str, float] = {}
     t_phase = time.time()
@@ -235,71 +307,113 @@ def build_index(
     if n_docs is None:
         n_docs = docs.count()
     mark("count")
-    snap = catalog.current_snapshot() if resume else None
-    if snap:  # shard mapping must stay fixed across resumed builds
-        n_shards = snap["n_shards"]
-    elif n_shards is None:
-        n_shards = default_n_shards(n_docs)
-    shard = _shard_expr(n_docs, n_shards)
 
+    snap = catalog.current_snapshot() if resume else None
+    if snap:
+        if bool(snap.get("stemming", True)) != bool(stemming) or snap.get(
+            "title_boost"
+        ) != title_boost:
+            raise ValueError(
+                "resume with different analyzer settings (stemming/title_boost) "
+                "would mix incompatible postings; drop() the catalog or match "
+                f"the snapshot ({snap.get('stemming')}, {snap.get('title_boost')})"
+            )
+        old_n = snap["n_docs"]
+        if n_docs < old_n:
+            raise ValueError(
+                f"corpus shrank ({old_n} → {n_docs}); use delete_docs() for "
+                "removals — rebuilding over fewer docs would orphan postings"
+            )
+        width = snap["shard_width"]
+        n_shards = max(snap["n_shards"], -(-n_docs // width) if n_docs else 0)
+    else:
+        old_n = 0
+        if n_shards is None:
+            n_shards = default_n_shards(n_docs)
+        width = max(1, -(-n_docs // n_shards)) if n_docs else 1
+    shard = _shard_col(width)
+    grown = snap is not None and n_docs > old_n
+
+    # lineage validated against disk: a shard the manifest claims but
+    # whose partition directory is gone (crash between table write and
+    # snapshot commit cannot cause this, but operator error can) is
+    # rebuilt rather than trusted (ADVICE: validate table state on resume)
     done = catalog.committed_shards() if resume else set()
+    if done:
+        lineage = snap.get("shards", {})
+        done = {
+            s
+            for s in done
+            if lineage.get(str(s), {}).get("blocks", 0) == 0
+            or catalog.partition_exists("postings", s)
+        }
     todo = set(range(n_shards)) - done
+    fresh = not resume or snap is None
+
+    if grown:
+        # the boundary shard (containing doc old_n-1) is committed but
+        # PARTIAL: new docs extend its range, so re-analyze + rebuild it
+        # from the first doc of that shard (re-analyzing ≤1 shard of old
+        # docs avoids a read-modify-write race on the tokens table)
+        boundary = (old_n - 1) // width
+        delta_start = boundary * width if old_n % width else old_n
+        todo |= set(range(delta_start // width, n_shards))
+
     if only_shards is not None:  # bounded incremental run (checkpointed)
         todo &= set(only_shards)
     todo = sorted(todo)
-    fresh = not resume or not done
 
     if fresh or not catalog.exists("tokens"):
         # narrow map job: analyze + write the tokenized table (no shuffle)
         catalog.write(
-            term_doc_tf(docs, stemming=stemming, title_boost=title_boost), "tokens"
+            term_doc_tf(docs, stemming=stemming, title_boost=title_boost,
+                        meta_cols=meta_cols).withColumn("shard", shard),
+            "tokens",
+            partition_by=["shard"],
+        )
+        mark("analyze_tokens")
+    elif grown:
+        delta = docs.where(F.col("doc_id") >= delta_start)
+        catalog.write(
+            term_doc_tf(delta, stemming=stemming, title_boost=title_boost,
+                        meta_cols=meta_cols).withColumn("shard", shard),
+            "tokens",
+            partition_by=["shard"],
+            mode="overwrite_partitions",
         )
         mark("analyze_tokens")
     tdf = catalog.read(spark, "tokens")
 
-    # avgdl = total tokens / total docs — one cheap agg over the tokens
-    # table (bit-identical to averaging per-doc doclen incl. empty docs)
-    tok_sum = tdf.agg(F.sum("tf").alias("s")).collect()[0]["s"]
-    avgdl = float(tok_sum or 0) / n_docs if n_docs else 0.0
-    mark("avgdl")
+    # doc_stats = the sentinel rows — a narrow filter-project of tokens
+    # (no shuffle, no join); runs concurrently with the posting encode
+    from concurrent.futures import ThreadPoolExecutor
 
-    # doc_stats / term_stats / postings all read the tokens table and
-    # are independent — submit them as concurrent Spark jobs (threads):
-    # the scheduler interleaves their tasks, filling cores a single
-    # stage's tail would leave idle
     stat_jobs = []
-    if fresh:
+    pool = ThreadPoolExecutor(1)
+    if fresh or grown:
         def _write_doc_stats() -> None:
-            meta_cols = [c for c in ("url", "lang", "warc_ts") if c in cols]
-            doc_stats = tdf.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
-            if meta_cols:
-                doc_stats = doc_stats.join(
-                    docs.select("doc_id", *meta_cols), "doc_id", "right"
-                ).na.fill({"doclen": 0})
-            catalog.write(doc_stats.withColumn("shard", shard), "doc_stats")
-
-        def _write_term_stats() -> None:
-            term_stats = tdf.groupBy("term").agg(
-                F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+            sent = tdf.where(F.col("term").isNull())
+            if grown:  # only the re-analyzed partitions need replacing
+                sent = sent.where(F.col("shard") >= delta_start // width)
+            sent = sent.select("doc_id", "doclen", *meta_cols, "shard")
+            catalog.write(
+                sent, "doc_stats", partition_by=["shard"],
+                mode="overwrite" if fresh else "overwrite_partitions",
             )
-            catalog.write(term_stats, "term_stats")
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = ThreadPoolExecutor(2)
-        stat_jobs = [pool.submit(_write_doc_stats), pool.submit(_write_term_stats)]
+        stat_jobs.append(pool.submit(_write_doc_stats))
 
     if todo:
-        tdf_sharded = tdf.withColumn("shard", shard)
+        tok = tdf.where(F.col("term").isNotNull())
         if len(todo) < n_shards:
-            tdf_sharded = tdf_sharded.where(F.col("shard").isin(todo))
+            tok = tok.where(F.col("shard").isin(todo))  # partition-pruned
 
         def encode_partition(batches):
             import pyarrow as pa
 
             tbl = pa.Table.from_batches(list(batches))
             if tbl.num_rows:
-                yield from _encode_partition_arrow(tbl, avgdl)
+                yield from _encode_partition_arrow(tbl)
 
         # hash-repartition on (term, shard): every group lands whole in
         # one partition; the encoder processes the partition vectorized.
@@ -307,37 +421,61 @@ def build_index(
         # buffers and are dictionary-encoded in C++ — materializing 36M
         # python string objects was the dominant encode cost
         postings = (
-            tdf_sharded.repartition(
-                max(n_shards, 2 * spark.sparkContext.defaultParallelism), "term", "shard"
+            tok.select("term", "shard", "doc_id", "tf", "doclen")
+            .repartition(
+                max(len(todo), 2 * spark.sparkContext.defaultParallelism),
+                "term", "shard",
             )
             .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
         )
-        # shard stays a COLUMN (not a directory partition): queries
-        # filter postings by term — parquet row-group stats on shard
-        # suffice for the cogroup, and dir-partitioning multiplied file
-        # count by n_shards for no pruning benefit
-        mode = "append" if (resume and done and catalog.exists("postings")) else "overwrite"
-        catalog.write(postings, "postings", mode=mode)
+        catalog.write(
+            postings, "postings", partition_by=["shard"],
+            mode="overwrite" if fresh else "overwrite_partitions",
+        )
         mark("postings")
     for j in stat_jobs:
         j.result()
     if stat_jobs:
-        mark("doc_term_stats_join")
+        mark("doc_stats")
 
-    # lineage + metrics per shard (north rule)
+    # avgdl over ALL docs incl. empty ones — one agg over the small
+    # doc_stats table (sentinels), never a scan of token-scale data
+    dl_sum = catalog.read(spark, "doc_stats").agg(F.sum("doclen").alias("s")).collect()[
+        0
+    ]["s"]
+    avgdl = float(dl_sum or 0) / n_docs if n_docs else 0.0
+    mark("avgdl")
+
+    # term_stats + per-shard lineage metrics, both DERIVED from the
+    # block-summary columns of the postings table (302k blocks for 36M
+    # postings — three orders of magnitude smaller than the token set)
     pst = catalog.read(spark, "postings")
+    catalog.write(
+        pst.groupBy("term").agg(
+            F.sum("n").cast("long").alias("df"), F.sum("tf_sum").alias("cf")
+        ),
+        "term_stats",
+    )
+    mark("term_stats")
     per_shard = {
         str(r["shard"]): {"blocks": r["blocks"], "postings": r["postings"]}
         for r in pst.groupBy("shard")
         .agg(F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings"))
         .collect()
     }
+    for s in todo:  # empty shards still get lineage (else re-built forever)
+        per_shard.setdefault(str(s), {"blocks": 0, "postings": 0})
+    if snap:
+        for s, m in snap.get("shards", {}).items():
+            per_shard.setdefault(s, m)
     mark("metrics")
+
     elapsed = time.time() - t0
     manifest = {
         "phase_seconds": phases,
         "n_docs": n_docs,
         "n_shards": n_shards,
+        "shard_width": width,
         "avgdl": avgdl,
         "stemming": stemming,
         "title_boost": title_boost,
@@ -351,7 +489,7 @@ def build_index(
     return catalog.current_snapshot()
 
 
-def _encode_partition_arrow(tbl, avgdl: float):
+def _encode_partition_arrow(tbl):
     """Encode ALL (term, shard) groups in one partition, Arrow-native:
     dictionary-encode the term column (C++), lexsort int codes, group
     boundaries via code changes, one whole-partition varbyte pass,
@@ -365,22 +503,24 @@ def _encode_partition_arrow(tbl, avgdl: float):
     term_codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     term_dict = dict_arr.dictionary  # pa.StringArray of unique terms
     shards = tbl.column("shard").to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-    tfs = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.uint64)
-    dls = tbl.column("doclen").to_numpy(zero_copy_only=False).astype(np.float64)
+    doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    tfs = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = tbl.column("doclen").to_numpy(zero_copy_only=False).astype(np.int32)
 
-    order = np.lexsort((doc_ids, shards, term_codes))
-    term_codes, shards, doc_ids, tfs, dls = (
-        term_codes[order], shards[order], doc_ids[order], tfs[order], dls[order]
+    # single combined group key → 2-key lexsort instead of 3
+    gkey = term_codes * (int(shards.max()) + 1) + shards
+    order = np.lexsort((doc_ids, gkey))
+    gkey, shards, doc_ids, tfs, dls = (
+        gkey[order], shards[order], doc_ids[order], tfs[order], dls[order]
     )
-    tfn = tfs / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+    term_codes = term_codes[order]
 
     # group boundaries over the (term, shard) key — int comparisons
-    key_change = np.empty(len(term_codes), dtype=bool)
+    key_change = np.empty(len(gkey), dtype=bool)
     key_change[0] = True
-    key_change[1:] = (term_codes[1:] != term_codes[:-1]) | (shards[1:] != shards[:-1])
+    key_change[1:] = gkey[1:] != gkey[:-1]
     starts = np.flatnonzero(key_change)
-    ends = np.append(starts[1:], len(term_codes))
+    ends = np.append(starts[1:], len(gkey))
 
     # block boundaries: every BLOCK_SIZE entries within each group
     block_starts_list = [
@@ -403,8 +543,18 @@ def _encode_partition_arrow(tbl, avgdl: float):
     np.cumsum(d_sizes, out=d_off[1:])
     t_off = np.zeros(len(tfs) + 1, dtype=np.int64)
     np.cumsum(t_sizes, out=t_off[1:])
+    if d_off[-1] >= 2**31 or t_off[-1] >= 2**31:
+        # Arrow BinaryArray offsets are int32; a >2 GiB varbyte payload in
+        # one partition means the repartition width is far too small
+        raise ValueError(
+            "posting payload of one partition exceeds 2 GiB — raise the "
+            "repartition count (spark.sql.shuffle.partitions) for this corpus"
+        )
 
-    max_tfn_blocks = np.maximum.reduceat(tfn, bstarts)
+    # corner-bound block-max metadata (query-time ub needs avgdl + these)
+    max_tf_blocks = np.maximum.reduceat(tfs, bstarts)
+    min_dl_blocks = np.minimum.reduceat(dls, bstarts)
+    tf_sum_blocks = np.add.reduceat(tfs, bstarts)
     last_idx = bends - 1
 
     # binary columns built zero-copy-ish: offsets into the shared buffer
@@ -426,15 +576,17 @@ def _encode_partition_arrow(tbl, avgdl: float):
             pa.array(shards[bstarts].astype(np.int32)),
             pa.array(block_ids.astype(np.int32)),
             pa.array((bends - bstarts).astype(np.int32)),
-            pa.array(doc_ids[bstarts].astype(np.int64)),
-            pa.array(doc_ids[last_idx].astype(np.int64)),
-            pa.array(max_tfn_blocks.astype(np.float32)),
+            pa.array(doc_ids[bstarts]),
+            pa.array(doc_ids[last_idx]),
+            pa.array(max_tf_blocks.astype(np.int32)),
+            pa.array(min_dl_blocks.astype(np.int32)),
+            pa.array(tf_sum_blocks.astype(np.int64)),
             d_col,
             t_col,
         ],
         names=[
             "term", "shard", "block_id", "n", "first_doc_id",
-            "last_doc_id", "max_tfn", "doc_ids_vb", "tfs_vb",
+            "last_doc_id", "max_tf", "min_dl", "tf_sum", "doc_ids_vb", "tfs_vb",
         ],
     )
     yield batch

@@ -1,18 +1,30 @@
 """Snapshot-manifest table catalog — Iceberg-shaped storage on parquet.
 
 The production design targets Iceberg tables (`documents` partitioned
-by days(warc_ts); `postings`/`doc_stats`/`term_stats` partitioned by
-shard) with snapshot-based resumability.  The sandbox has no Iceberg
-runtime jars and no network, so this module provides the same contract
-over parquet directories + JSON snapshot manifests:
+by days(warc_ts); `tokens`/`postings`/`doc_stats` partitioned by the
+doc-range `shard`) with snapshot-based resumability.  The sandbox has
+no Iceberg runtime jars and no network, so this module provides the
+same contract over parquet directories + JSON snapshot manifests:
 
-- atomic-ish commits (write to ``_tmp`` then rename),
+- snapshot JSON commits are atomic (write to ``.tmp`` then rename);
+- table writes are per-shard-partition: full overwrite, dynamic
+  partition overwrite (only the partitions present in the output are
+  replaced — Iceberg ``overwritePartitions`` analog), and a
+  filter-rewrite swap for row-level deletes (Iceberg ``DELETE WHERE``
+  analog);
 - per-shard lineage + build metrics in each snapshot (north rule:
-  "resumable from checkpoint with per-partition lineage + metrics"),
-- resume = diff (wanted shards) − (shards in current snapshot).
+  "resumable from checkpoint with per-partition lineage + metrics");
+- resume = (wanted shards) − (shards in current snapshot), with the
+  manifest validated against the partition directories actually on
+  disk (``partition_exists``) — a manifest is trusted only as far as
+  the storage agrees with it.
 
-On a real cluster, swap `_write`/`_read` for ``df.writeTo(...)`` on an
-Iceberg catalog; the build/query code does not change.
+Crash model: table writes land BEFORE the snapshot commit; a crash
+mid-build leaves extra partition data but the previous snapshot still
+describes a consistent index, and the next resume rewrites exactly the
+non-committed partitions (dynamic overwrite is idempotent per
+partition).  On a real cluster, swap `_write`/`_read` for
+``df.writeTo(...)`` on an Iceberg catalog; build/query code stays.
 """
 
 from __future__ import annotations
@@ -70,12 +82,50 @@ class IndexCatalog:
     def table_path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def partition_path(self, name: str, shard: int) -> str:
+        return os.path.join(self.table_path(name), f"shard={shard}")
+
+    def partition_exists(self, name: str, shard: int) -> bool:
+        return os.path.isdir(self.partition_path(name, shard))
+
     def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None,
               mode: str = "overwrite") -> None:
-        w = df.write.mode(mode)
+        """``mode='overwrite'`` replaces the whole table;
+        ``mode='overwrite_partitions'`` replaces only the partitions
+        present in ``df`` (Iceberg overwritePartitions analog);
+        ``mode='append'`` appends."""
+        if mode == "overwrite_partitions":
+            w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        else:
+            w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.table_path(name))
+
+    def rewrite_partitions(
+        self,
+        df: DataFrame,
+        name: str,
+        shards: list[int],
+        partition_by: str = "shard",
+    ) -> None:
+        """Row-level rewrite of the given shard partitions (Iceberg
+        ``DELETE WHERE`` analog): ``df`` holds the SURVIVING rows of
+        exactly those partitions.  Written to a side directory first,
+        then swapped in per partition — required because ``df`` usually
+        reads from the same table (Spark cannot overwrite a path it is
+        reading), and partitions that end up EMPTY must have their
+        directories removed (dynamic overwrite would leave them stale)."""
+        tmp = self.table_path(f"_{name}__rewrite")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").partitionBy(partition_by).parquet(tmp)
+        for s in shards:
+            dst = self.partition_path(name, s)
+            shutil.rmtree(dst, ignore_errors=True)
+            src = os.path.join(tmp, f"{partition_by}={s}")
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.table_path(name))

@@ -1,0 +1,128 @@
+"""Index maintenance: row-level deletes (reference S14).
+
+The reference removes one dataset from all its Elasticsearch indices
+with delete-by-query (lib_core/datamart_core/common.py:280-317) and
+re-inserts on re-profile (delete-then-reinsert, profiler/profiler.py:
+286-297).  Here the analog is per-shard-partition rewrite: deleting a
+document touches exactly the doc-range shard partitions that contain
+it — tokens and doc_stats are filter-rewritten, postings for those
+shards are re-encoded from the surviving tokens, term_stats/avgdl are
+re-derived, and a new snapshot commits the lineage.  On Iceberg this
+whole function is ``DELETE FROM ... WHERE`` + the posting rebuild of
+the touched partitions.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from .build import POSTINGS_SCHEMA, _encode_partition_arrow
+from .catalog import IndexCatalog
+
+
+def delete_docs(
+    spark: SparkSession,
+    catalog: IndexCatalog,
+    doc_ids: list[int] | None = None,
+    urls: list[str] | None = None,
+) -> dict:
+    """Remove documents (by doc_id and/or url) from every index table,
+    rebuilding only the shard partitions that contained them.  Returns
+    the new committed snapshot."""
+    snap = catalog.current_snapshot()
+    if not snap:
+        raise ValueError("nothing committed in this catalog")
+    width = snap["shard_width"]
+    t0 = time.time()
+
+    ids = set(int(d) for d in (doc_ids or []))
+    if urls:
+        rows = (
+            catalog.read(spark, "doc_stats")
+            .where(F.col("url").isin(list(urls)))
+            .select("doc_id")
+            .collect()
+        )
+        ids |= {r["doc_id"] for r in rows}
+    if not ids:
+        return snap
+    ids = sorted(ids)
+    shards = sorted({d // width for d in ids})
+
+    # 1. tokens: filter-rewrite the touched shard partitions (row delete)
+    tdf = catalog.read(spark, "tokens")
+    surviving = tdf.where(F.col("shard").isin(shards)).where(
+        ~F.col("doc_id").isin(ids)
+    )
+    catalog.rewrite_partitions(surviving, "tokens", shards)
+
+    # 2. doc_stats: re-derive the touched partitions from the sentinels
+    tdf = catalog.read(spark, "tokens")
+    meta_cols = [c for c in ("url", "lang", "warc_ts") if c in tdf.columns]
+    sent = (
+        tdf.where(F.col("shard").isin(shards))
+        .where(F.col("term").isNull())
+        .select("doc_id", "doclen", *meta_cols, "shard")
+    )
+    catalog.rewrite_partitions(sent, "doc_stats", shards)
+
+    # 3. postings: re-encode the touched shards from surviving tokens
+    tok = (
+        tdf.where(F.col("shard").isin(shards))
+        .where(F.col("term").isNotNull())
+        .select("term", "shard", "doc_id", "tf", "doclen")
+    )
+
+    def encode_partition(batches):
+        import pyarrow as pa
+
+        tbl = pa.Table.from_batches(list(batches))
+        if tbl.num_rows:
+            yield from _encode_partition_arrow(tbl)
+
+    postings = tok.repartition(
+        max(len(shards), spark.sparkContext.defaultParallelism), "term", "shard"
+    ).mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
+    catalog.rewrite_partitions(postings, "postings", shards)
+
+    # 4. re-derive term_stats / avgdl / lineage from the new state
+    pst = catalog.read(spark, "postings")
+    catalog.write(
+        pst.groupBy("term").agg(
+            F.sum("n").cast("long").alias("df"), F.sum("tf_sum").alias("cf")
+        ),
+        "term_stats",
+    )
+    ds = catalog.read(spark, "doc_stats")
+    agg = ds.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("s")
+    ).collect()[0]
+    n_docs = agg["n"]
+    avgdl = float(agg["s"] or 0) / n_docs if n_docs else 0.0
+    per_shard = {
+        str(r["shard"]): {"blocks": r["blocks"], "postings": r["postings"]}
+        for r in pst.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings"))
+        .collect()
+    }
+    for s in snap.get("shards", {}):
+        per_shard.setdefault(s, {"blocks": 0, "postings": 0})
+
+    manifest = dict(snap)
+    manifest.update(
+        {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "shards": per_shard,
+            "built_shards_this_run": shards,
+            "deleted_doc_ids": len(ids),
+            "build_seconds": time.time() - t0,
+            "phase_seconds": {},
+            "source": "delete_docs",
+        }
+    )
+    manifest.pop("docs_per_sec", None)
+    catalog.commit_snapshot(manifest)
+    return catalog.current_snapshot()

@@ -24,35 +24,37 @@ def vb_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     The size array lets a caller encode a whole partition in ONE call
     and slice out sub-ranges (posting blocks) by byte offset — per-call
     numpy overhead was the index build's hot spot at ~600k block-sized
-    calls (NOTES_SCALING.md)."""
-    v = np.asarray(values, dtype=np.uint64)
+    calls (NOTES_SCALING.md).
+
+    Strategy: build an (n, maxb) row-major byte matrix with plain
+    shifts, mark terminator bits, then boolean-select the valid bytes
+    in one pass — row-major flattening preserves low-byte-first order
+    per value.  ~4 full-array ops for the typical maxb=2-3, versus the
+    old per-byte-position gather/scatter loop (measured ~4× faster on
+    posting-gap distributions)."""
+    v = np.asarray(values)
+    if v.dtype == np.int64:
+        v = v.view(np.uint64)  # non-negative by contract; free
+    else:
+        v = v.astype(np.uint64, copy=False)
     if v.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
-    # bytes needed per value: ceil(bitlen/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 7
-        tmp = tmp >> np.uint64(7)
-    nbytes = np.maximum(nbits // 7, 1)
-    total = int(nbytes.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    # position of first byte of each value
-    starts = np.zeros(v.size, dtype=np.int64)
-    starts[1:] = np.cumsum(nbytes)[:-1]
-    maxb = int(nbytes.max())
-    rem = v.copy()
+    vmax = int(v.max())
+    maxb = 1
+    while vmax >= (1 << (7 * maxb)):
+        maxb += 1
+    if maxb == 1:  # whole array single-byte (common for tf runs)
+        out = v.astype(np.uint8) | np.uint8(0x80)
+        return out.tobytes(), np.ones(v.size, dtype=np.int64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for j in range(1, maxb):
+        nbytes += v >= np.uint64(1 << (7 * j))
+    bmat = np.empty((v.size, maxb), dtype=np.uint8)
     for j in range(maxb):
-        mask = nbytes > j
-        idx = starts[mask] + j
-        out[idx] = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
-        rem = rem >> np.uint64(7)
-    # set terminator bit on last byte of each value
-    out[starts + nbytes - 1] |= 0x80
-    return out.tobytes(), nbytes
+        bmat[:, j] = ((v >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+    bmat[np.arange(v.size), nbytes - 1] |= 0x80  # terminator bits
+    valid = np.arange(maxb)[None, :] < nbytes[:, None]
+    return bmat[valid].tobytes(), nbytes
 
 
 def vb_encode(values: np.ndarray) -> bytes:

@@ -2,7 +2,13 @@
 
 Layout recap (index/build.py): postings are doc-range sharded; within a
 (term, shard) group, fixed 128-entry varbyte blocks carry
-(first_doc_id, last_doc_id, max_tfn) skip metadata.  Query executes as:
+(first_doc_id, last_doc_id, max_tf, min_dl) skip metadata.  The BM25
+block upper bound is the corner bound
+ub = idf · max_tf/(max_tf + k1·(1−b + b·min_dl/avgdl)) — tf-normalized
+score is monotone increasing in tf and decreasing in doclen, so the
+(max_tf, min_dl) corner dominates every doc in the block; computing it
+at query time keeps committed blocks valid when avgdl drifts under
+corpus growth.  Query executes as:
 
   postings scan, `term IN (query terms)` pushed to parquet
   → cogroup by shard with (filter-pruned) doc_stats
@@ -17,7 +23,7 @@ uses per-block [first,last] doc-id fences to skip — never decode —
 blocks of frequent terms that cannot intersect the candidate set
 (block-max skipping; this is where a stopword-tier term in the query
 costs almost nothing).  Scoring of survivors is fully vectorized
-(numpy), upper-bounded by max_tfn·idf per block exactly as block-max
+(numpy), upper-bounded by the corner bound per block exactly as block-max
 WAND would be for OR mode (``or_mode=True`` falls back to score-all
 with threshold pruning between terms).
 
@@ -147,7 +153,7 @@ def _shard_topk_or(by_term, ds_ids, ds_len, idfs, avgdl, k, filtered, empty) -> 
     """OR mode: block-max WAND-style pruning, exact results.
 
     1. Seed a threshold θ: fully score the docs of the strongest term's
-       best blocks (highest idf·max_tfn upper bound).
+       best blocks (highest corner-bound ub).
     2. Block pruning: block b of term t cannot contribute to a top-k doc
        if ub(b) + Σ_{t'≠t} max_ub(t') < θ — skip (never decode) it.
     3. Exact rescore of every candidate doc surviving pruning.
@@ -157,7 +163,9 @@ def _shard_topk_or(by_term, ds_ids, ds_len, idfs, avgdl, k, filtered, empty) -> 
     ubs: dict[str, np.ndarray] = {}
     max_ub: dict[str, float] = {}
     for t, rows in by_term.items():
-        ub = idfs[t] * rows["max_tfn"].to_numpy().astype(np.float64)
+        mtf = rows["max_tf"].to_numpy().astype(np.float64)
+        mdl = rows["min_dl"].to_numpy().astype(np.float64)
+        ub = idfs[t] * mtf / (mtf + K1 * (1.0 - B + B * mdl / avgdl))
         ubs[t] = ub
         max_ub[t] = float(ub.max())
     total_ub = sum(max_ub.values())
@@ -242,7 +250,7 @@ def bm25_topk_blockmax(
         catalog.read(spark, "postings")
         .where(F.col("term").isin(terms))
         .select("shard", "term", "block_id", "n", "first_doc_id",
-                "last_doc_id", "max_tfn", "doc_ids_vb", "tfs_vb")
+                "last_doc_id", "max_tf", "min_dl", "doc_ids_vb", "tfs_vb")
     )
     ds = _filtered_doc_stats(spark, catalog, lang, ts_lo, ts_hi).select(
         "shard", "doc_id", "doclen"

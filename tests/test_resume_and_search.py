@@ -63,3 +63,83 @@ def test_search_facade(spark, tmp_path):
     # filtered search
     res_de = search(spark, cat, _VOCAB[45], k=10, lang="de").collect()
     assert all(r["lang"] == "de" for r in res_de)
+
+
+def test_resume_after_corpus_growth(spark, tmp_path):
+    """ADVICE (r1, medium): a resumed build over a GROWN corpus must
+    index the delta — including new docs that extend the committed
+    boundary shard — and end rank-identical to a fresh build."""
+    n1, n2 = 450, 800
+    grown_cat = IndexCatalog(str(tmp_path / "grown"))
+    m1 = build_index(generate_documents(spark, n1), grown_cat, n_shards=4, resume=False)
+    assert m1["n_docs"] == n1 and m1["shard_width"] == 113  # ceil(450/4)
+
+    # corpus grows (generator is deterministic: first 450 docs identical)
+    m2 = build_index(generate_documents(spark, n2), grown_cat)  # resume=True
+    assert m2["n_docs"] == n2
+    assert m2["shard_width"] == 113  # pinned: committed doc→shard never moves
+    assert m2["n_shards"] == 8  # ceil(800/113)
+    # shard 3 covered [339,452) but held only docs 339..449 — PARTIAL, so
+    # the delta rebuild must include it along with the new shards
+    assert m2["built_shards_this_run"] == [3, 4, 5, 6, 7]
+
+    fresh_cat = IndexCatalog(str(tmp_path / "fresh"))
+    build_index(generate_documents(spark, n2), fresh_cat, resume=False)
+
+    for q in (f"{_VOCAB[40]} {_VOCAB[300]}", _VOCAB[45], "the"):
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in bm25_topk_blockmax(spark, grown_cat, q, k=15).collect()]
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in bm25_topk_blockmax(spark, fresh_cat, q, k=15).collect()]
+        assert a == b and len(a) > 0
+
+    # growing again: boundary shard 7 ([791,904) holds 791..799) + new
+    m3 = build_index(generate_documents(spark, 1000), grown_cat)
+    assert m3["built_shards_this_run"] == [7, 8]
+    assert m3["n_docs"] == 1000
+
+
+def test_resume_analyzer_mismatch_raises(spark, tmp_path):
+    cat = IndexCatalog(str(tmp_path / "mm"))
+    build_index(generate_documents(spark, 200), cat, resume=False)
+    with pytest.raises(ValueError, match="analyzer settings"):
+        build_index(generate_documents(spark, 200), cat, stemming=False)
+    with pytest.raises(ValueError, match="shrank"):
+        build_index(generate_documents(spark, 100), cat)
+
+
+def test_delete_docs_rank_identical_to_fresh_subset(spark, tmp_path):
+    """S14 delete-by-dataset analog: per-shard rewrite of one deleted
+    document equals a fresh index over the surviving doc set."""
+    from pyspark.sql import functions as F
+
+    from datamart_spark.index import delete_docs
+
+    n = 600
+    docs = generate_documents(spark, n)
+    cat = IndexCatalog(str(tmp_path / "del"))
+    m1 = build_index(docs, cat, n_shards=4, resume=False)
+
+    drop_ids = [10, 11, 450]
+    pdf = generate_documents_pandas(n)
+    drop_urls = [pdf.iloc[450]["url"]]  # 450 via url, 10/11 via doc_id
+    m2 = delete_docs(spark, cat, doc_ids=[10, 11], urls=drop_urls)
+    assert m2["n_docs"] == n - 3
+    assert m2["built_shards_this_run"] == [0, 3]  # only touched shards
+
+    fresh = IndexCatalog(str(tmp_path / "del_fresh"))
+    build_index(
+        docs.where(~F.col("doc_id").isin(drop_ids)), fresh,
+        n_shards=4, resume=False, n_docs=n - 3,
+    )
+    # n_docs must agree for identical idf; avgdl identical doc set
+    assert abs(m2["avgdl"] - fresh.current_snapshot()["avgdl"]) < 1e-12
+
+    q = f"{_VOCAB[40]} {_VOCAB[300]}"
+    a = [(r["doc_id"], round(r["score"], 9))
+         for r in bm25_topk_blockmax(spark, cat, q, k=20).collect()]
+    b = [(r["doc_id"], round(r["score"], 9))
+         for r in bm25_topk_blockmax(spark, fresh, q, k=20).collect()]
+    assert a == b and len(a) > 0
+    got_ids = {r["doc_id"] for r in bm25_topk_blockmax(spark, cat, "the", k=50, or_mode=True).collect()}
+    assert not (got_ids & set(drop_ids))
