@@ -363,22 +363,29 @@ def build_index(
         todo &= set(only_shards)
     todo = sorted(todo)
 
+    # `kind` second-level partition (t = token rows, d = doc sentinels):
+    # doc_stats reads only kind=d leaves and the posting encode only
+    # kind=t — both scans partition-prune instead of row-filtering the
+    # token-scale table
+    kind = F.when(F.col("term").isNull(), F.lit("d")).otherwise(F.lit("t"))
     if fresh or not catalog.exists("tokens"):
         # narrow map job: analyze + write the tokenized table (no shuffle)
         catalog.write(
             term_doc_tf(docs, stemming=stemming, title_boost=title_boost,
-                        meta_cols=meta_cols).withColumn("shard", shard),
+                        meta_cols=meta_cols)
+            .withColumn("shard", shard).withColumn("kind", kind),
             "tokens",
-            partition_by=["shard"],
+            partition_by=["shard", "kind"],
         )
         mark("analyze_tokens")
     elif grown:
         delta = docs.where(F.col("doc_id") >= delta_start)
         catalog.write(
             term_doc_tf(delta, stemming=stemming, title_boost=title_boost,
-                        meta_cols=meta_cols).withColumn("shard", shard),
+                        meta_cols=meta_cols)
+            .withColumn("shard", shard).withColumn("kind", kind),
             "tokens",
-            partition_by=["shard"],
+            partition_by=["shard", "kind"],
             mode="overwrite_partitions",
         )
         mark("analyze_tokens")
@@ -390,9 +397,11 @@ def build_index(
 
     stat_jobs = []
     pool = ThreadPoolExecutor(1)
-    if fresh or grown:
-        def _write_doc_stats() -> None:
-            sent = tdf.where(F.col("term").isNull())
+    avgdl_box: list[float] = []
+
+    def _doc_stats_and_avgdl() -> None:
+        if fresh or grown:
+            sent = tdf.where(F.col("kind") == "d")  # partition-pruned
             if grown:  # only the re-analyzed partitions need replacing
                 sent = sent.where(F.col("shard") >= delta_start // width)
             sent = sent.select("doc_id", "doclen", *meta_cols, "shard")
@@ -400,11 +409,18 @@ def build_index(
                 sent, "doc_stats", partition_by=["shard"],
                 mode="overwrite" if fresh else "overwrite_partitions",
             )
+        # avgdl over ALL docs incl. empty ones — one agg over the small
+        # doc_stats table (sentinels), never a scan of token-scale data
+        dl_sum = (
+            catalog.read(spark, "doc_stats").agg(F.sum("doclen").alias("s"))
+            .collect()[0]["s"]
+        )
+        avgdl_box.append(float(dl_sum or 0) / n_docs if n_docs else 0.0)
 
-        stat_jobs.append(pool.submit(_write_doc_stats))
+    stat_jobs.append(pool.submit(_doc_stats_and_avgdl))
 
     if todo:
-        tok = tdf.where(F.col("term").isNotNull())
+        tok = tdf.where(F.col("kind") == "t")  # partition-pruned
         if len(todo) < n_shards:
             tok = tok.where(F.col("shard").isin(todo))  # partition-pruned
 
@@ -435,16 +451,8 @@ def build_index(
         mark("postings")
     for j in stat_jobs:
         j.result()
-    if stat_jobs:
-        mark("doc_stats")
-
-    # avgdl over ALL docs incl. empty ones — one agg over the small
-    # doc_stats table (sentinels), never a scan of token-scale data
-    dl_sum = catalog.read(spark, "doc_stats").agg(F.sum("doclen").alias("s")).collect()[
-        0
-    ]["s"]
-    avgdl = float(dl_sum or 0) / n_docs if n_docs else 0.0
-    mark("avgdl")
+    avgdl = avgdl_box[0]
+    mark("doc_stats_avgdl")
 
     # term_stats + per-shard lineage metrics, both DERIVED from the
     # block-summary columns of the postings table (302k blocks for 36M

@@ -107,7 +107,7 @@ class IndexCatalog:
         df: DataFrame,
         name: str,
         shards: list[int],
-        partition_by: str = "shard",
+        partition_by: str | list[str] = "shard",
     ) -> None:
         """Row-level rewrite of the given shard partitions (Iceberg
         ``DELETE WHERE`` analog): ``df`` holds the SURVIVING rows of
@@ -116,13 +116,14 @@ class IndexCatalog:
         reads from the same table (Spark cannot overwrite a path it is
         reading), and partitions that end up EMPTY must have their
         directories removed (dynamic overwrite would leave them stale)."""
+        parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         tmp = self.table_path(f"_{name}__rewrite")
         shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").partitionBy(partition_by).parquet(tmp)
-        for s in shards:
+        df.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+        for s in shards:  # the outer partition level must be the shard
             dst = self.partition_path(name, s)
             shutil.rmtree(dst, ignore_errors=True)
-            src = os.path.join(tmp, f"{partition_by}={s}")
+            src = os.path.join(tmp, f"{parts[0]}={s}")
             if os.path.isdir(src):
                 shutil.move(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)

@@ -56,14 +56,15 @@ def delete_docs(
     surviving = tdf.where(F.col("shard").isin(shards)).where(
         ~F.col("doc_id").isin(ids)
     )
-    catalog.rewrite_partitions(surviving, "tokens", shards)
+    catalog.rewrite_partitions(surviving, "tokens", shards,
+                               partition_by=["shard", "kind"])
 
     # 2. doc_stats: re-derive the touched partitions from the sentinels
     tdf = catalog.read(spark, "tokens")
     meta_cols = [c for c in ("url", "lang", "warc_ts") if c in tdf.columns]
     sent = (
         tdf.where(F.col("shard").isin(shards))
-        .where(F.col("term").isNull())
+        .where(F.col("kind") == "d")
         .select("doc_id", "doclen", *meta_cols, "shard")
     )
     catalog.rewrite_partitions(sent, "doc_stats", shards)
@@ -71,7 +72,7 @@ def delete_docs(
     # 3. postings: re-encode the touched shards from surviving tokens
     tok = (
         tdf.where(F.col("shard").isin(shards))
-        .where(F.col("term").isNotNull())
+        .where(F.col("kind") == "t")
         .select("term", "shard", "doc_id", "tf", "doclen")
     )
 

@@ -74,6 +74,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
+        # Int.MaxValue short-circuits BatchedPythonArrowInput's PER-ROW
+        # ArrowWriter.sizeInBytes() walk (jstack-measured as the top JVM
+        # cost of every mapInPandas/mapInArrow stage — it re-measures all
+        # column buffers for each appended row).  Batch size stays bounded
+        # by maxRecordsPerBatch above; our UDF rows are narrow.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(2**31 - 1))
         # local corpora are a few hundred MB: the 128MB default packs
         # them into ~4 input splits and caps every map stage at 4 tasks
         # regardless of cores; 16MB keeps map stages parallel at test

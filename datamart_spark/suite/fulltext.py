@@ -203,3 +203,88 @@ def top_terms_per_lang(spark, sf_dir):
         .where(F.col("rk") <= 5)
         .orderBy("lang", "rk")
     )
+
+
+# --- index-backed entries: the REAL engine under the oracle gate -------------
+#
+# These build a persistent varbyte/block-max catalog over the sf dir's
+# documents table (stemming=False so tokenization matches _TOK_SQL:
+# `\w+` findall ≡ split on `\W+`) and answer through the cogrouped
+# block-max DAAT kernel (query/wand.py).  The oracle is the same BM25
+# SQL as the index-free entries — so the driver's CORRECTNESS gate
+# covers the varbyte decode + WAND kernel path, not just pytest.
+
+def _suite_catalog(spark: SparkSession, sf_dir: str):
+    import os
+
+    from ..index import IndexCatalog, build_index
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    cat = IndexCatalog(f"/tmp/datamart_suite_index_{base}")
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    snap = cat.current_snapshot()
+    if snap is None or snap["n_docs"] != n or snap.get("stemming", True):
+        cat.drop()
+        build_index(docs, cat, stemming=False, resume=False, n_docs=n)
+    return cat
+
+
+def _indexed_topk(spark, sf_dir, terms, k=10, lang=None, or_mode=False):
+    from ..query import bm25_topk_blockmax
+
+    cat = _suite_catalog(spark, sf_dir)
+    # kernel top-(k+10) on exact scores, then round(…,4) and re-rank —
+    # the same rounded ordering discipline as the oracle SQL (suite
+    # contract: identical float expression shapes + round-before-order)
+    raw = bm25_topk_blockmax(
+        spark, cat, " ".join(terms), k=k + 10, lang=lang, or_mode=or_mode
+    )
+    return (
+        raw.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+@register("bm25_indexed_and", _bm25_sql(["spark", "join"]))
+def bm25_indexed_and(spark, sf_dir):
+    return _indexed_topk(spark, sf_dir, ["spark", "join"])
+
+
+@register("bm25_indexed_or", _bm25_sql(["spark", "join"], and_mode=False))
+def bm25_indexed_or(spark, sf_dir):
+    return _indexed_topk(spark, sf_dir, ["spark", "join"], or_mode=True)
+
+
+@register("bm25_indexed_lang_filtered", _bm25_sql(["data", "table"], lang="en"))
+def bm25_indexed_lang_filtered(spark, sf_dir):
+    return _indexed_topk(spark, sf_dir, ["data", "table"], lang="en")
+
+
+@register("bm25_indexed_stopword_and", _bm25_sql(["the", "data"]))
+def bm25_indexed_stopword_and(spark, sf_dir):
+    """Stopword-tier term in AND mode — maximum fence-skip pressure on
+    the block-max kernel (the skew case the salted shards exist for)."""
+    return _indexed_topk(spark, sf_dir, ["the", "data"])
+
+
+@register(
+    "indexed_term_stats_top",
+    f"""
+WITH tok AS ({_TOK_SQL})
+SELECT term, count(DISTINCT doc_id)::bigint AS df, count(*)::bigint AS cf
+FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
+""",
+)
+def indexed_term_stats_top(spark, sf_dir):
+    """df/cf served from the committed term_stats table (derived from
+    posting-block summaries at build time) — gates the tf_sum/df
+    bookkeeping of the encoder against first-principles SQL."""
+    cat = _suite_catalog(spark, sf_dir)
+    return (
+        cat.read(spark, "term_stats")
+        .select("term", "df", F.col("cf").cast("long").alias("cf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
