@@ -67,34 +67,55 @@ def extract_text_series(html_bytes: pd.Series) -> pd.Series:
 # --- tokenize --------------------------------------------------------------
 
 
-def analyze_str(text: str, stem_cache: StemCache | None = None) -> list[str]:
-    """Full analysis chain for one string: tokenize → lowercase → stem."""
+def analyze_str(
+    text: str, stem_cache: StemCache | None = None, tokenizer: str = "simple"
+) -> list[str]:
+    """Full analysis chain for one string: tokenize → lowercase → stem.
+
+    ``tokenizer``: "simple" = ``\\w+`` (default; DuckDB-mirrorable),
+    "uax29" = Lucene `standard` fidelity (uax29.py, vector-pinned)."""
     if text is None:
         return []
-    toks = _TOKEN_RE.findall(text.lower())
+    if tokenizer == "uax29":
+        from .uax29 import tokenize_uax29
+
+        toks = tokenize_uax29(text.lower())
+    else:
+        toks = _TOKEN_RE.findall(text.lower())
     if stem_cache is None:
         return toks
     return [stem_cache(t) for t in toks]
 
 
-def analyze_series(texts: pd.Series, stemming: bool = True) -> pd.Series:
+def analyze_series(
+    texts: pd.Series, stemming: bool = True, tokenizer: str = "simple"
+) -> pd.Series:
     """Batch analysis: Series[str] → Series[list[str]].
 
     pandas ``str.findall`` keeps the regex loop in C; stemming memoizes
     per batch (vocabulary ≪ token count, so hit-rate ≈ 100%).
     """
-    toks = texts.str.lower().str.findall(_TOKEN_RE)
+    if tokenizer == "uax29":
+        from .uax29 import tokenize_uax29
+
+        toks = texts.str.lower().map(
+            lambda t: tokenize_uax29(t) if t is not None else None
+        )
+    else:
+        toks = texts.str.lower().str.findall(_TOKEN_RE)
     if not stemming:
         return toks
     cache = StemCache()
     return toks.map(lambda ts: [cache(t) for t in ts] if ts is not None else None)
 
 
-def analyze_query(query: str, stemming: bool = True) -> list[str]:
+def analyze_query(
+    query: str, stemming: bool = True, tokenizer: str = "simple"
+) -> list[str]:
     """Query-time analysis — identical chain to index time (unique terms,
     order preserved; reference uses AND-semantics over distinct terms,
     apiserver/apiserver/search/__init__.py:67)."""
-    toks = analyze_str(query, StemCache() if stemming else None)
+    toks = analyze_str(query, StemCache() if stemming else None, tokenizer=tokenizer)
     seen: dict[str, None] = {}
     for t in toks:
         seen.setdefault(t, None)

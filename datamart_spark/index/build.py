@@ -123,6 +123,7 @@ def term_doc_tf(
     stemming: bool = True,
     title_boost: int | None = None,
     meta_cols: list[str] | None = None,
+    tokenizer: str = "simple",
 ) -> DataFrame:
     """documents → token rows (doc_id, term, tf, doclen) + one sentinel
     row per doc (term NULL, doclen + metadata columns); tf aggregated
@@ -144,17 +145,17 @@ def term_doc_tf(
 
         for b in batches:
             if title_boost is None:
-                toks = analyze_series(b[text_col], stemming=False)
+                toks = analyze_series(b[text_col], stemming=False, tokenizer=tokenizer)
                 toks = toks.map(lambda ts: ts if ts is not None else [])
                 weights_per_doc = None
             else:
                 split = b[text_col].fillna("").str.split("\n", n=1)
                 titles = split.map(lambda p: p[0] if p else "")
                 bodies = split.map(lambda p: p[1] if p and len(p) > 1 else "")
-                t_toks = analyze_series(titles, stemming=False).map(
+                t_toks = analyze_series(titles, stemming=False, tokenizer=tokenizer).map(
                     lambda ts: ts if ts is not None else []
                 )
-                b_toks = analyze_series(bodies, stemming=False).map(
+                b_toks = analyze_series(bodies, stemming=False, tokenizer=tokenizer).map(
                     lambda ts: ts if ts is not None else []
                 )
                 toks = t_toks.combine(b_toks, lambda a, c: a + c)
@@ -270,6 +271,7 @@ def build_index(
     n_docs: int | None = None,
     only_shards: list[int] | None = None,
     title_boost: int | None = None,
+    tokenizer: str = "simple",
 ) -> dict:
     """Full or incremental build.  Returns the committed snapshot.
 
@@ -310,9 +312,11 @@ def build_index(
 
     snap = catalog.current_snapshot() if resume else None
     if snap:
-        if bool(snap.get("stemming", True)) != bool(stemming) or snap.get(
-            "title_boost"
-        ) != title_boost:
+        if (
+            bool(snap.get("stemming", True)) != bool(stemming)
+            or snap.get("title_boost") != title_boost
+            or snap.get("tokenizer", "simple") != tokenizer
+        ):
             raise ValueError(
                 "resume with different analyzer settings (stemming/title_boost) "
                 "would mix incompatible postings; drop() the catalog or match "
@@ -372,7 +376,7 @@ def build_index(
         # narrow map job: analyze + write the tokenized table (no shuffle)
         catalog.write(
             term_doc_tf(docs, stemming=stemming, title_boost=title_boost,
-                        meta_cols=meta_cols)
+                        meta_cols=meta_cols, tokenizer=tokenizer)
             .withColumn("shard", shard).withColumn("kind", kind),
             "tokens",
             partition_by=["shard", "kind"],
@@ -382,7 +386,7 @@ def build_index(
         delta = docs.where(F.col("doc_id") >= delta_start)
         catalog.write(
             term_doc_tf(delta, stemming=stemming, title_boost=title_boost,
-                        meta_cols=meta_cols)
+                        meta_cols=meta_cols, tokenizer=tokenizer)
             .withColumn("shard", shard).withColumn("kind", kind),
             "tokens",
             partition_by=["shard", "kind"],
@@ -487,6 +491,7 @@ def build_index(
         "avgdl": avgdl,
         "stemming": stemming,
         "title_boost": title_boost,
+        "tokenizer": tokenizer,
         "shards": per_shard,
         "built_shards_this_run": todo,
         "build_seconds": elapsed,

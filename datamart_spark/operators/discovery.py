@@ -101,3 +101,103 @@ def unpivot_wide_years(
     pivot.py:10-38 melts when ≥80% of ≥3 column names parse as dates).
     Spark-native ``melt``/``unpivot``."""
     return df.unpivot(id_cols, value_cols, var_name, value_name)
+
+
+# --- MinHash-backed containment (J8/A11/R5 at scale) -------------------------
+#
+# The reference delegates joinable-column search to an external Lazo
+# server holding per-column sketches (n_permutations, hash_values,
+# cardinality) — lib_profiler core.py:502-557 builds them, apiserver
+# search/join.py:334-425 queries them.  This is the Spark-native
+# estimator: one aggregation computes the K-permutation MinHash slots +
+# the exact distinct cardinality per column; containment is then pure
+# sketch arithmetic (Lazo's JS→JC conversion), never a value-set join.
+# At 100 TB the sketch table is O(#columns × K) rows — the exact
+# ``containment_score`` above stays as the verification oracle.
+
+N_PERMUTATIONS = 16
+
+
+def _perm_hash(col, j: int):
+    """Permutation j's hash: int64 from the md5 hex prefix of "j:value"
+    — deterministic, identical in Spark and DuckDB (same scheme as the
+    dedup suite, suite/textfns.py)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def column_minhash_sketch(
+    df: DataFrame, col: str, n_hashes: int = N_PERMUTATIONS
+) -> tuple[list[int], int]:
+    """A11: Lazo-style column sketch ``(hash_values, cardinality)`` in
+    ONE distributed aggregation over the column's distinct values."""
+    v = (
+        df.select(F.col(col).cast("string").alias("v"))
+        .where(F.col("v").isNotNull())
+        .distinct()
+    )
+    aggs = [F.min(_perm_hash(F.col("v"), j)).alias(f"mh{j}") for j in range(n_hashes)]
+    aggs.append(F.count(F.lit(1)).alias("card"))
+    row = v.agg(*aggs).collect()[0]
+    return [row[f"mh{j}"] for j in range(n_hashes)], int(row["card"])
+
+
+def lazo_containment_estimate(
+    sketch_l: list[int], card_l: int, sketch_r: list[int], card_r: int
+) -> float:
+    """Lazo's sketch-only containment JC(L,R) = |L∩R|/|L|:
+
+    JS_hat  = matching slots / K            (classic MinHash estimate)
+    |L∩R|   = JS/(1+JS) · (|L|+|R|)         (from JS = ∩/∪, ∪ = |L|+|R|−∩)
+    JC_hat  = clamp(|L∩R| / |L|, 0, 1)
+
+    (reference behavior: search/join.py:334-425 consumes exactly this
+    score from the Lazo server)."""
+    if card_l == 0 or not sketch_l:
+        return 0.0
+    k = len(sketch_l)
+    matches = sum(1 for a, b in zip(sketch_l, sketch_r) if a is not None and a == b)
+    js = matches / k
+    if js == 0.0:
+        return 0.0
+    inter = js / (1.0 + js) * (card_l + card_r)
+    return min(1.0, inter / card_l)
+
+
+def minhash_containment(
+    left: DataFrame, left_col: str, right: DataFrame, right_col: str,
+    n_hashes: int = N_PERMUTATIONS,
+) -> float:
+    """J8 at scale: sketch-estimated containment |L∩R|/|L| — two
+    O(distinct) aggregations, zero cross-table joins.  Verify against
+    ``containment_score`` (exact) on small data."""
+    sl, cl = column_minhash_sketch(left, left_col, n_hashes)
+    sr, cr = column_minhash_sketch(right, right_col, n_hashes)
+    return lazo_containment_estimate(sl, cl, sr, cr)
+
+
+# --- W2 interleave + R4 keyword multiplier (augmentation search) -------------
+
+
+def interleave_results(join_results: list, union_results: list, k: int = 50) -> list:
+    """W2: alternate join/union results pairwise, then leftovers, then
+    cut to top-k — the reference's final ranking of augmentation search
+    (apiserver/apiserver/search/__init__.py:410-425, TOP_K_SIZE=50)."""
+    min_size = min(len(join_results), len(union_results))
+    out = [x for pair in zip(join_results[:min_size], union_results[:min_size])
+           for x in pair]
+    out += join_results[min_size:]
+    out += union_results[min_size:]
+    return out[:k]
+
+
+def keyword_multiplier_expr(score_col: str = "score",
+                            match_col: str = "keyword_match"):
+    """R4: when a keyword query accompanies a join search, datasets
+    matching the keywords get their range/containment score ×10
+    (function_score weight=10, boost_mode:'multiply' —
+    search/__init__.py:118-140 applied at search/join.py:205-219)."""
+    return F.col(score_col) * F.when(F.col(match_col), F.lit(10.0)).otherwise(
+        F.lit(1.0)
+    )

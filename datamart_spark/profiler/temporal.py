@@ -6,10 +6,11 @@ first resolution where the average number of distinct values per
 bucket is < 1.05 wins.  Keys incl. ISO-week and quarter
 (temporal.py:15-33).
 
-Spark form: one groupBy per candidate resolution over the SAME column
-— each is a partial-aggregated shuffle of distinct (bucket, value)
-pairs; at 100 TB run them in one pass via cube-style unioned keys or
-accept ~8 cheap scans of one column (column-pruned parquet reads).
+Spark form: ONE scan of the column — every resolution's (bucket,
+value) pairs are emitted together via an exploded key array, then one
+aggregation computes all 8 avg-distinct-per-bucket ratios; the winner
+is picked driver-side.  (v1 ran up to 8 sequential groupBy jobs; at
+100 TB that is 8 scans of the column.)
 """
 
 from __future__ import annotations
@@ -37,17 +38,34 @@ THRESHOLD = 1.05
 def detect_resolution(df: DataFrame, ts_col: str) -> str:
     """Coarse→fine cascade (reference temporal.py:36-57 iterates the
     keys year→second): first resolution where avg distinct timestamps
-    per bucket < 1.05 wins; fallback 'second'."""
+    per bucket < 1.05 wins; fallback 'second'.
+
+    One-pass plan: explode the 8 truncation keys per value (a narrow
+    8× row inflation of ONE column), aggregate distinct counts for all
+    resolutions in a single shuffle, and evaluate the cascade on the
+    returned 8-row result."""
     col = F.col(ts_col)
-    for name, unit in reversed(_TRUNCS):
-        ratio = (
-            df.where(col.isNotNull())
-            .groupBy(F.date_trunc(unit, col).alias("b"))
-            .agg(F.count_distinct(col).alias("c"))
-            .agg(F.avg("c").alias("r"))
-            .collect()[0]["r"]
-        )
-        if ratio is not None and ratio < THRESHOLD:
+    keyed = df.where(col.isNotNull()).select(
+        col.alias("v"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(name).alias("res"),
+                         F.date_trunc(unit, col).alias("b"))
+                for name, unit in _TRUNCS
+            ])
+        ).alias("k"),
+    )
+    rows = (
+        keyed.groupBy(F.col("k.res").alias("res"), F.col("k.b").alias("b"))
+        .agg(F.count_distinct("v").alias("c"))
+        .groupBy("res")
+        .agg(F.avg("c").alias("r"))
+        .collect()
+    )
+    ratio = {r["res"]: r["r"] for r in rows}
+    for name, _ in reversed(_TRUNCS):
+        r = ratio.get(name)
+        if r is not None and r < THRESHOLD:
             return name
     return "second"
 

@@ -33,20 +33,35 @@ from pyspark.sql import DataFrame, functions as F
 MAX_UNCLEAN = 0.02
 MAX_CATEGORICAL_RATIO = 0.10
 
-# reference regexes (profile_types.py:12-24), RE2/Java-compatible
+# reference regexes (profile_types.py:12-53), RE2/Java-compatible
 _INT_RE = r"^[+-]?[0-9]+(\.0*)?$"
 _FLOAT_RE = r"^[+-]?([0-9]+\.[0-9]*|\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$"
 _BOOL_SET = ["0", "1", "true", "false", "y", "n", "yes", "no"]
+# WKT point "POINT (x y)" / "POINT(x, y)" / "Name (lat, long)" combined,
+# and WKT polygon (profile_types.py:25-53)
+_WKT_POINT_RE = r"^POINT ?\(-?[0-9]{1,3}\.[0-9]{1,15} -?[0-9]{1,3}\.[0-9]{1,15}\)$"
+_OTHER_POINT_RE = r"^POINT ?\(-?[0-9]{1,3}\.[0-9]{1,15}, ?-?[0-9]{1,3}\.[0-9]{1,15}\)$"
+_GEO_COMBINED_RE = (
+    r"^[\p{Lu}\p{Po}0-9 ]+ \(-?[0-9]{1,3}\.[0-9]{1,15}, ?-?[0-9]{1,3}\.[0-9]{1,15}\)$"
+)
+_WKT_POLYGON_RE = r"^POLYGON ?\((\([0-9 .]+\), ?)*\([0-9 .]+\)\)$"
+# lat/long column-name substrings (spatial.py:33-34)
+LATITUDE_NAMES = ("latitude", "lat", "ycoord", "y_coord")
+LONGITUDE_NAMES = ("longitude", "long", "lon", "lng", "xcoord", "x_coord")
 
 # structural / semantic type URIs (types.py:1-51 keeps these stable)
 TYPE_MISSING = "https://metadata.datadrivendiscovery.org/types/MissingData"
 TYPE_INTEGER = "http://schema.org/Integer"
 TYPE_FLOAT = "http://schema.org/Float"
 TYPE_TEXT = "http://schema.org/Text"
+TYPE_GEO_POINT = "http://schema.org/GeoCoordinates"
+TYPE_GEO_POLYGON = "http://schema.org/GeoShape"
 SEM_BOOLEAN = "http://schema.org/Boolean"
 SEM_ENUMERATION = "http://schema.org/Enumeration"
 SEM_DATETIME = "http://schema.org/DateTime"
 SEM_IDENTIFIER = "http://schema.org/identifier"
+SEM_LATITUDE = "http://schema.org/latitude"
+SEM_LONGITUDE = "http://schema.org/longitude"
 
 
 @dataclass
@@ -70,9 +85,23 @@ def _is_id_name(name: str) -> bool:
     )
 
 
-def profile_dataframe(df: DataFrame, compute_ranges: bool = True) -> list[ColumnProfile]:
+def profile_dataframe(
+    df: DataFrame,
+    compute_ranges: bool = True,
+    range_method: str = "kmeans",
+    sample_cap: int = 100_000,
+) -> list[ColumnProfile]:
     """Profile every column.  Input columns are treated as strings
-    (reference ingests everything as str, core.py:210-217)."""
+    (reference ingests everything as str, core.py:210-217).
+
+    ``range_method``:
+    - "kmeans" (default, reference-faithful): A8 K-Means compression
+      (numerical.py:36-84) over a seeded row sample (the reference
+      itself profiles a seeded ≤50 MB sample, core.py:28-30,199-213;
+      seed 89, ``sample_cap`` values per column here);
+    - "quantile": fully-distributed percentile_approx zone map — the
+      100 TB path when even a sample collect is unwanted.
+    """
     cols = df.columns
     s = {c: F.col(c).cast("string") for c in cols}
     aggs = []
@@ -91,6 +120,27 @@ def profile_dataframe(df: DataFrame, compute_ranges: bool = True) -> list[Column
             F.sum(
                 F.when(nonempty & F.try_to_timestamp(v).isNotNull(), 1).otherwise(0)
             ).alias(f"{c}__ts"),
+            F.sum(
+                F.when(
+                    nonempty
+                    & (v.rlike(_WKT_POINT_RE) | v.rlike(_OTHER_POINT_RE)
+                       | v.rlike(_GEO_COMBINED_RE)),
+                    1,
+                ).otherwise(0)
+            ).alias(f"{c}__geopt"),
+            F.sum(F.when(nonempty & v.rlike(_WKT_POLYGON_RE), 1).otherwise(0)).alias(
+                f"{c}__geopoly"
+            ),
+            F.sum(
+                F.when(
+                    nonempty & F.abs(v.try_cast("double")).between(0.0, 90.0), 1
+                ).otherwise(0)
+            ).alias(f"{c}__lat"),
+            F.sum(
+                F.when(
+                    nonempty & F.abs(v.try_cast("double")).between(0.0, 180.0), 1
+                ).otherwise(0)
+            ).alias(f"{c}__long"),
         ]
     row = df.agg(*aggs).collect()[0]
 
@@ -114,6 +164,12 @@ def profile_dataframe(df: DataFrame, compute_ranges: bool = True) -> list[Column
             p.structural_type = TYPE_INTEGER
         elif unclean_float <= MAX_UNCLEAN:
             p.structural_type = TYPE_FLOAT
+        # geo structural types, precedence after numeric exactly as the
+        # reference orders its branches (profile_types.py:124-135)
+        elif (n - row[f"{c}__geopt"]) / n <= MAX_UNCLEAN:
+            p.structural_type = TYPE_GEO_POINT
+        elif (n - row[f"{c}__geopoly"]) / n <= MAX_UNCLEAN:
+            p.structural_type = TYPE_GEO_POLYGON
 
         if (n - row[f"{c}__bool"]) / n <= MAX_UNCLEAN:
             p.semantic_types.append(SEM_BOOLEAN)
@@ -121,6 +177,18 @@ def profile_dataframe(df: DataFrame, compute_ranges: bool = True) -> list[Column
             p.semantic_types.append(SEM_ENUMERATION)
         if _is_id_name(c) and p.structural_type == TYPE_INTEGER:
             p.semantic_types.append(SEM_IDENTIFIER)
+        # lat/long: value range AND column-name substring must both match
+        # (profile_types.py:250-266; names spatial.py:33-34)
+        if p.structural_type == TYPE_FLOAT:
+            lname = c.lower()
+            if (n - row[f"{c}__lat"]) / n <= MAX_UNCLEAN and any(
+                nm in lname for nm in LATITUDE_NAMES
+            ):
+                p.semantic_types.append(SEM_LATITUDE)
+            if (n - row[f"{c}__long"]) / n <= MAX_UNCLEAN and any(
+                nm in lname for nm in LONGITUDE_NAMES
+            ):
+                p.semantic_types.append(SEM_LONGITUDE)
         # integer column named year → DateTime (profile_types.py:236-248)
         if p.structural_type == TYPE_INTEGER and c.strip().lower() == "year":
             p.semantic_types.append(SEM_DATETIME)
@@ -139,7 +207,7 @@ def profile_dataframe(df: DataFrame, compute_ranges: bool = True) -> list[Column
                 F.avg(d).alias(f"{c}__mean"),
                 F.stddev_pop(d).alias(f"{c}__std"),  # population ÷n (numerical.py:17-33)
             ]
-            if compute_ranges:
+            if compute_ranges and range_method == "quantile":
                 stat_aggs.append(
                     F.percentile_approx(
                         d, [0.0, 0.05, 0.33, 0.38, 0.66, 0.71, 0.95, 1.0], 10000
@@ -151,7 +219,7 @@ def profile_dataframe(df: DataFrame, compute_ranges: bool = True) -> list[Column
             p = by_name[c]
             p.mean = srow[f"{c}__mean"]
             p.stddev = srow[f"{c}__std"]
-            if compute_ranges:
+            if compute_ranges and range_method == "quantile":
                 q = srow[f"{c}__q"]
                 if q:
                     # ≤3 coarse coverage ranges — quantile zone-map analog of
@@ -161,6 +229,21 @@ def profile_dataframe(df: DataFrame, compute_ranges: bool = True) -> list[Column
                         (q[3], q[4]),
                         (q[5], q[6]),
                     ]
+        if compute_ranges and range_method == "kmeans":
+            # A8 reference-faithful path: seeded sample → K-Means ranges
+            from .ranges import kmeans_ranges
+
+            nb_rows = profiles[0].nb_rows if profiles else 0
+            sample = df.select(
+                *[F.col(c).try_cast("double").alias(c) for c in numeric_cols]
+            )
+            if nb_rows > sample_cap:
+                sample = sample.sample(
+                    fraction=min(1.0, 1.1 * sample_cap / nb_rows), seed=89
+                ).limit(sample_cap)
+            pdf = sample.toPandas()
+            for c in numeric_cols:
+                by_name[c].ranges = kmeans_ranges(pdf[c].to_numpy()) or None
     return profiles
 
 

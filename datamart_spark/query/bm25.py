@@ -148,7 +148,8 @@ def bm25_topk_dataframe(
     snap = catalog.current_snapshot()
     stemming = snap.get("stemming", True)
     avgdl = snap["avgdl"]
-    terms = analyze_query(query, stemming=stemming)
+    terms = analyze_query(query, stemming=stemming,
+                          tokenizer=snap.get("tokenizer", "simple"))
 
     empty = spark.createDataFrame(
         [], "doc_id long, score double"

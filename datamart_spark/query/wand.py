@@ -233,7 +233,8 @@ def bm25_topk_blockmax(
     snap = catalog.current_snapshot()
     avgdl = snap["avgdl"]
     stemming = snap.get("stemming", True)
-    terms = analyze_query(query, stemming=stemming)
+    terms = analyze_query(query, stemming=stemming,
+                          tokenizer=snap.get("tokenizer", "simple"))
     empty = spark.createDataFrame([], _RESULT_SCHEMA)
     if not terms:
         return empty

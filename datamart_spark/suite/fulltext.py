@@ -288,3 +288,61 @@ def indexed_term_stats_top(spark, sf_dir):
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(20)
     )
+
+
+# --- cross_fields multi-field BM25 (the reference's exact query shape) --------
+
+_XF_TOK_SQL = """
+docs2 AS (SELECT doc_id,
+    CASE WHEN strpos(text, chr(10)) > 0
+         THEN substr(text, 1, strpos(text, chr(10)) - 1) ELSE text END AS title,
+    CASE WHEN strpos(text, chr(10)) > 0
+         THEN substr(text, strpos(text, chr(10)) + 1) ELSE '' END AS body
+  FROM documents),
+ftok AS (
+  SELECT doc_id, 'title' AS field,
+         unnest(list_filter(regexp_split_to_array(lower(title), '\\W+'), x -> x <> '')) AS term
+  FROM docs2
+  UNION ALL
+  SELECT doc_id, 'body',
+         unnest(list_filter(regexp_split_to_array(lower(body), '\\W+'), x -> x <> ''))
+  FROM docs2)
+"""
+
+
+def _cross_fields_sql(terms: list[str], k: int = 10, boost: float = 10.0) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_XF_TOK_SQL},
+dl AS (SELECT doc_id, field, count(*)::double AS dl FROM ftok GROUP BY 1, 2),
+avgdl AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY 1),
+qt AS (SELECT * FROM ftok WHERE term IN ({tl})),
+tf AS (SELECT doc_id, field, term, count(*)::double AS tf FROM qt GROUP BY 1, 2, 3),
+dff AS (SELECT term, field, count(DISTINCT doc_id)::double AS df_f FROM qt GROUP BY 1, 2),
+idf AS (SELECT term,
+               ln(1 + ((SELECT count(*)::double FROM documents) - max(df_f) + 0.5)
+                      / (max(df_f) + 0.5)) AS idf
+        FROM dff GROUP BY term),
+contrib AS (SELECT tf.doc_id, tf.term,
+                   (CASE WHEN tf.field = 'title' THEN {boost!r} ELSE 1.0 END)
+                   * idf.idf * tf.tf
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl)) AS fscore
+            FROM tf JOIN dl USING (doc_id, field)
+                    JOIN avgdl USING (field) JOIN idf USING (term)),
+pt AS (SELECT doc_id, term, max(fscore) AS tscore FROM contrib GROUP BY 1, 2),
+scored AS (SELECT doc_id, sum(tscore) AS score, count(*) AS nt FROM pt GROUP BY 1)
+SELECT doc_id, round(score, 4) AS score FROM scored WHERE nt = {len(terms)}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@register("bm25_cross_fields_and", _cross_fields_sql(["data", "spark"]))
+def bm25_cross_fields_and(spark, sf_dir):
+    """P1/R1 exact form: cross_fields multi_match (blended df, dismax
+    per term, field boost, operator 'and') — reference
+    apiserver/apiserver/search/__init__.py:65-77."""
+    from ..query.cross_fields import cross_fields_topk
+
+    return cross_fields_topk(
+        spark, table(spark, sf_dir, "documents"), ["data", "spark"], k=10
+    )

@@ -368,3 +368,52 @@ def fingerprint_rolling(spark, sf_dir):
             " cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)"
         ).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+# --- Lazo sketch containment (J8/A11/R5) --------------------------------------
+
+_LAZO_K = 16
+
+
+@register(
+    "lazo_containment_est",
+    f"""
+WITH tok AS ({_TOK_SQL}),
+l AS (SELECT DISTINCT term FROM tok WHERE doc_id < 60),
+r AS (SELECT DISTINCT term FROM tok WHERE doc_id >= 30 AND doc_id < 120),
+perms AS (SELECT unnest(range({_LAZO_K})) AS j),
+sl AS (SELECT p.j, min(('0x' || substr(md5(p.j::varchar || ':' || l.term), 1, 15))::bigint) AS h
+       FROM l CROSS JOIN perms p GROUP BY p.j),
+sr AS (SELECT p.j, min(('0x' || substr(md5(p.j::varchar || ':' || r.term), 1, 15))::bigint) AS h
+       FROM r CROSS JOIN perms p GROUP BY p.j),
+stats AS (SELECT (SELECT count(*) FROM l)::double AS cl,
+                 (SELECT count(*) FROM r)::double AS cr,
+                 (SELECT count(*) FROM sl JOIN sr ON sl.j = sr.j AND sl.h = sr.h)::double / {_LAZO_K} AS js,
+                 (SELECT count(*) FROM l JOIN r USING (term))::double AS inter_exact)
+SELECT round(CASE WHEN js = 0 THEN 0.0
+            ELSE least(1.0, js / (1 + js) * (cl + cr) / cl) END, 4) AS est_containment,
+       round(inter_exact / cl, 4) AS exact_containment,
+       cl::bigint AS card_l, cr::bigint AS card_r
+FROM stats
+""",
+)
+def lazo_containment_est(spark, sf_dir):
+    """Sketch-estimated vs exact containment of two term-set 'columns'
+    (Lazo estimator, reference search/join.py:334-425; sketch build
+    lib_profiler core.py:502-557).  The estimator's arithmetic is
+    deterministic given the data, so DuckDB reproduces it bit-for-bit."""
+    from ..operators.discovery import (
+        column_minhash_sketch, containment_score, lazo_containment_estimate,
+    )
+
+    tok = tokens(table(spark, sf_dir, "documents"))
+    l = tok.where(F.col("doc_id") < 60).select("term")
+    r = tok.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 120)).select("term")
+    sl, cl = column_minhash_sketch(l, "term", _LAZO_K)
+    sr, cr = column_minhash_sketch(r, "term", _LAZO_K)
+    est = lazo_containment_estimate(sl, cl, sr, cr)
+    exact = containment_score(l, "term", r, "term")
+    return spark.createDataFrame(
+        [(round(est, 4), round(exact, 4), cl, cr)],
+        "est_containment double, exact_containment double, card_l long, card_r long",
+    )
