@@ -52,6 +52,11 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
 HIGH_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH_CPUS", "8"))
 LOW_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_LOW_CPUS", "2"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+# serving-latency + peak-throughput levels: informational measurements
+# OUTSIDE the scaling pair (they may exceed the VM's honest-scaling
+# range; a real cluster serves queries on all executors)
+P50_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_P50_CPUS", "16"))
+PEAK_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_PEAK_CPUS", "16"))
 MAX_EXTRA_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PAIRS", "1"))
 CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", f"/tmp/bench_corpus_{N_DOCS}")
 WORK_DIR = "/tmp/bench_index"
@@ -118,7 +123,7 @@ def timed_build(cpus: int) -> tuple[float, dict]:
     return elapsed, manifest
 
 
-def query_p50(cpus: int) -> float:
+def query_p50(cpus: int, index_cpus: int = HIGH_CPUS) -> float:
     import pandas as pd
 
     from datamart_spark.corpus import generate_queries
@@ -126,7 +131,7 @@ def query_p50(cpus: int) -> float:
     from datamart_spark.query import bm25_topk_blockmax
 
     spark = _session(cpus, "bench_query")
-    catalog = IndexCatalog(f"{WORK_DIR}_{cpus}")
+    catalog = IndexCatalog(f"{WORK_DIR}_{index_cpus}")
     queries = generate_queries()
     lat = []
     for _, q in queries.iterrows():
@@ -191,7 +196,10 @@ long-lived cluster).  Levels alternate low,high,high,low; min of
 Index stats: avgdl={ib['avgdl']:.1f}, shards={ib['n_shards']},
 postings={ib['total_postings']}, blocks={ib['total_blocks']}.
 
-## BM25 top-10 query latency (50-query reference set, local[{hi}])
+Peak single-node throughput (informational, outside the scaling pair):
+local[{s['peak_cpus']}] = {s['docs_per_sec_peak']:.0f} docs/sec.
+
+## BM25 top-10 query latency (50-query reference set, local[{P50_CPUS}])
 
 p50 = {result['bm25_p50_sec']:.3f} s/query (block-max DAAT kernel path).
 
@@ -234,7 +242,10 @@ def main() -> None:
         run_pair(reverse=(extra % 2 == 0))
 
     t_low, t_high = min(t_lows), min(t_highs)
-    p50 = query_p50(HIGH_CPUS)
+    # peak single-node throughput (informational): the largest level the
+    # box can run at all (local[16] ⇒ ~32 runnable threads)
+    t_peak, _ = timed_build(PEAK_CPUS)
+    p50 = query_p50(P50_CPUS)
     queries = run_headline(SF_DIR)
 
     eff = (t_low / t_high) / (HIGH_CPUS / LOW_CPUS)
@@ -263,6 +274,8 @@ def main() -> None:
             "pairs_measured": len(t_lows),
             "docs_per_sec_low": round(N_DOCS / t_low, 1),
             "docs_per_sec_high": round(N_DOCS / t_high, 1),
+            "peak_cpus": PEAK_CPUS,
+            "docs_per_sec_peak": round(N_DOCS / t_peak, 1),
             "efficiency": round(eff, 3),
         },
         "bm25_p50_sec": round(p50, 4),

@@ -431,7 +431,10 @@ def build_index(
         def encode_partition(batches):
             import pyarrow as pa
 
-            tbl = pa.Table.from_batches(list(batches))
+            batches = list(batches)  # a hash partition can be empty
+            if not batches:
+                return
+            tbl = pa.Table.from_batches(batches)
             if tbl.num_rows:
                 yield from _encode_partition_arrow(tbl)
 

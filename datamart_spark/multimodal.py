@@ -8,9 +8,11 @@ tested even where the actual codec is not available in this container.
 
 The codec boundary is explicit: ``decode_image_meta`` parses real PNG /
 JPEG / GIF headers (pure-Python, deterministic — enough for sizing and
-filtering pipelines); ``extract_image_features`` requires a pixel
-decoder and raises ``NotImplementedError`` unless given a stub
-extractor (tests inject a deterministic fake).
+filtering pipelines); ``extract_image_features`` needs a pixel decoder.
+For PNG the decoder is REAL and in-repo (``png.decode_png`` +
+``png.png_feature_extractor`` — stdlib zlib + numpy unfiltering, no
+codec library); JPEG/video remain a documented stub: pass ``extractor``
+or get ``NotImplementedError`` at plan-build time.
 
 Scale: payload columns are the heavy bytes — keep them OUT of shuffles.
 All kernels here are narrow (mapInPandas, no exchange); pipelines
@@ -99,14 +101,16 @@ def extract_image_features(
     dim: int = 16,
     extractor: Callable[[bytes], np.ndarray] | None = None,
 ) -> DataFrame:
-    """Pixel-level feature extraction.  The real decoder (PIL/ffmpeg) is
-    not available in this container — STUB: pass ``extractor`` (tests
-    use a deterministic byte-histogram fake); without one this raises
-    at plan-build time, not inside executors."""
+    """Pixel-level feature extraction.  For PNG payloads use the
+    in-repo real decoder: ``png.png_feature_extractor(dim)``.  Other
+    codecs (JPEG/video) need a library this container lacks — pass
+    ``extractor`` or this raises at plan-build time, not inside
+    executors."""
     if extractor is None:
         raise NotImplementedError(
-            "no image decoder in this environment; inject `extractor` "
-            "(bytes -> np.ndarray[dim]) — e.g. a PIL-based one in production"
+            "pass `extractor` (bytes -> np.ndarray[dim]): "
+            "png.png_feature_extractor(dim) for PNG (in-repo, real), or a "
+            "PIL/ffmpeg-based one in production for JPEG/video"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
