@@ -173,3 +173,171 @@ def label_centroid_norm(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("nrm"), 4).alias("avg_norm"))
         .orderBy("label")
     )
+
+
+# --- multi-band OR-amplified LSH (recall-at-scale variant) --------------------
+#
+# One 4-plane band has recall ~(1-(1-s^4)) for similarity s; OR-ing B
+# independent bands amplifies recall to 1-(1-s^4)^B with candidate cost
+# B×bucket — the standard LSH tradeoff the single-band demo above
+# doesn't exercise.  3 bands × 4 planes, deterministic per-band planes.
+
+_N_BANDS = 3
+_BAND_PLANES = [
+    np.round(np.random.Generator(np.random.PCG64(100 + b)).standard_normal((_N_PLANES, _DIM)), 4)
+    for b in range(_N_BANDS)
+]
+
+
+def _band_bucket_exprs(band: int) -> tuple[str, str]:
+    planes = _BAND_PLANES[band]
+    spark_bits = " + ".join(
+        f"(CASE WHEN {_DOT_SPARK.format(a='embedding', b=_plane_spark(p))} >= 0d"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    sql_bits = " + ".join(
+        f"(CASE WHEN {_DOT_SQL.format(a='embedding', b=_plane_sql(p))} >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return spark_bits, sql_bits
+
+
+_BAND_EXPRS = [_band_bucket_exprs(b) for b in range(_N_BANDS)]
+
+
+@register(
+    "ann_multiband_candidates",
+    f"""
+WITH b AS (SELECT vec_id, embedding,
+                  {', '.join(f'({sql}) AS bk{i}' for i, (_, sql) in enumerate(_BAND_EXPRS))}
+           FROM embeddings),
+q AS (SELECT embedding AS qe,
+             {', '.join(f'bk{i} AS qbk{i}' for i in range(_N_BANDS))}
+      FROM b WHERE vec_id = 7),
+cand AS (SELECT DISTINCT b.vec_id, b.embedding
+         FROM b CROSS JOIN q
+         WHERE b.vec_id <> 7
+           AND ({' OR '.join(f'b.bk{i} = q.qbk{i}' for i in range(_N_BANDS))})),
+s AS (SELECT c.vec_id,
+             {_DOT_SQL.format(a='c.embedding', b='q.qe')}
+             / ({_NORM_SQL.format(a='c.embedding')} * {_NORM_SQL.format(a='q.qe')}) AS cos
+      FROM cand c CROSS JOIN q)
+SELECT vec_id, round(cos, 4) AS cosine FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 5
+""",
+)
+def ann_multiband_candidates(spark, sf_dir):
+    """OR-amplified multi-band LSH: candidates = union over 3 bands of
+    the query's bucket, exact cosine rescore (scale plan: per-band
+    bucket equi-joins, union, dedup — never all-pairs)."""
+    emb = table(spark, sf_dir, "embeddings")
+    for i, (sp, _) in enumerate(_BAND_EXPRS):
+        emb = emb.withColumn(f"bk{i}", F.expr(sp))
+    q = emb.where(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("qe"),
+        *[F.col(f"bk{i}").alias(f"qbk{i}") for i in range(_N_BANDS)],
+    )
+    cond = None
+    for i in range(_N_BANDS):
+        c = F.col(f"bk{i}") == F.col(f"qbk{i}")
+        cond = c if cond is None else (cond | c)
+    s = (
+        emb.where(F.col("vec_id") != 7)
+        .join(F.broadcast(q), cond)
+        .dropDuplicates(["vec_id"])
+        .withColumn(
+            "cos",
+            F.expr(
+                _DOT_SPARK.format(a="embedding", b="qe")
+                + " / ("
+                + _NORM_SPARK.format(a="embedding")
+                + " * "
+                + _NORM_SPARK.format(a="qe")
+                + ")"
+            ),
+        )
+    )
+    return (
+        s.select("vec_id", F.round("cos", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# --- IVF probe (inverted-file ANN, the other scale path) ----------------------
+
+_IVF_K = 8       # coarse centroids
+_IVF_PROBE = 2   # lists probed per query
+_COS = (
+    "{dot} / ({na} * {nb})"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / "
+        f"({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)})"
+    )
+
+
+def _cos_spark(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SPARK.format(a=a, b=b)} / "
+        f"({_NORM_SPARK.format(a=a)} * {_NORM_SPARK.format(a=b)})"
+    )
+
+
+@register(
+    "ann_ivf_probe",
+    f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}),
+a AS (SELECT e.vec_id, e.embedding, c.cid, {_cos_sql('e.embedding', 'c.ce')} AS ccos
+      FROM embeddings e CROSS JOIN c),
+assign AS (SELECT vec_id, embedding, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rk
+           FROM a),
+lists AS (SELECT vec_id, embedding, cid FROM assign WHERE rk = 1),
+qprobe AS (SELECT cid FROM assign WHERE vec_id = 42 AND rk <= {_IVF_PROBE}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+s AS (SELECT l.vec_id, {_cos_sql('l.embedding', 'q.qe')} AS cos
+      FROM lists l JOIN qprobe USING (cid) CROSS JOIN q
+      WHERE l.vec_id <> 42)
+SELECT vec_id, round(cos, 4) AS cosine FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 5
+""",
+)
+def ann_ivf_probe(spark, sf_dir):
+    """IVF-style ANN: vectors partitioned into inverted lists by nearest
+    coarse centroid; a query probes only its nearest-{_IVF_PROBE} lists
+    and rescans exactly those.  Centroids here are a deterministic seed
+    set (first {_IVF_K} vectors) so the DuckDB oracle reproduces the
+    quantizer bit-for-bit — at scale the centroids come from k-means
+    (profiler.ranges-style Lloyd's) and the lists become the partition
+    keys of the embedding table; the probe plan is unchanged."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    c = emb.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    a = emb.crossJoin(F.broadcast(c)).withColumn(
+        "ccos", F.expr(_cos_spark("embedding", "ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = a.withColumn("rk", F.row_number().over(w))
+    lists = assign.where(F.col("rk") == 1).select("vec_id", "embedding", "cid")
+    qprobe = assign.where(
+        (F.col("vec_id") == 42) & (F.col("rk") <= _IVF_PROBE)
+    ).select("cid")
+    q = emb.where(F.col("vec_id") == 42).select(F.col("embedding").alias("qe"))
+    s = (
+        lists.join(F.broadcast(qprobe), "cid")
+        .where(F.col("vec_id") != 42)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos", F.expr(_cos_spark("embedding", "qe")))
+    )
+    return (
+        s.select("vec_id", F.round("cos", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )

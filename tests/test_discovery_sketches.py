@@ -152,3 +152,68 @@ def test_latlong_semantic_detection(spark):
     # value range fits but the NAME doesn't say lat/long → no geo semantics
     assert SEM_LATITUDE not in p["price"].semantic_types
     assert SEM_LONGITUDE not in p["price"].semantic_types
+
+
+# --- augmentation search facade (§3.1 steps 4-5) -------------------------------
+
+
+def test_range_overlap_score_math():
+    from datamart_spark.operators.discovery import range_overlap_score
+
+    # full overlap of one unit range
+    assert range_overlap_score([(0, 9)], [(0, 9)]) == pytest.approx(1.0)
+    # half overlap
+    assert range_overlap_score([(0, 9)], [(5, 14)]) == pytest.approx(0.5)
+    # disjoint
+    assert range_overlap_score([(0, 9)], [(20, 30)]) == 0.0
+
+
+@pytest.fixture(scope="module")
+def aug_universe(spark):
+    inp = spark.createDataFrame(
+        [(float(i), f"key{i % 40}", f"note {i}") for i in range(200)],
+        "amount string, code string, note string",
+    ).selectExpr("cast(amount as string) amount", "code", "note")
+    joinable = spark.createDataFrame(
+        [(float(i) / 2, f"key{i % 50}") for i in range(300)],
+        "amount2 double, code2 string",
+    ).selectExpr("cast(amount2 as string) amount2", "code2")
+    unionable = spark.createDataFrame(
+        [("1.0", "keyx", "hello")], "amount string, code string, note string"
+    )
+    return inp, {"trade prices": joinable, "more rows": unionable}
+
+
+def test_augmentation_search_end_to_end(spark, aug_universe):
+    from datamart_spark.operators.discovery import augmentation_search
+
+    inp, candidates = aug_universe
+    results = augmentation_search(inp, candidates, k=50)
+    assert results, "no results"
+    types = {r["type"] for r in results}
+    assert types == {"join", "union"}
+    # W2: first two results alternate join/union (pairwise interleave)
+    assert [r["type"] for r in results[:2]] == ["join", "union"]
+    # the unionable candidate matches all 3 column names exactly:
+    # score = Σ sims / n_input × es_score = 3/3 × 1.0 (union.py:177-190)
+    u = [r for r in results if r["type"] == "union"][0]
+    assert u["dataset"] == "more rows" and u["score"] == pytest.approx(1.0)
+    assert len(u["matched_pairs"]) == 3
+    # join results carry (dataset, input_column, column, score)
+    j = [r for r in results if r["type"] == "join"][0]
+    assert {"dataset", "input_column", "column", "score"} <= set(j)
+
+
+def test_augmentation_search_keyword_multiplier(spark, aug_universe):
+    from datamart_spark.operators.discovery import augmentation_search
+
+    inp, candidates = aug_universe
+    base = augmentation_search(inp, candidates, k=50)
+    boosted = augmentation_search(inp, candidates, keywords="trade", k=50)
+    b0 = {(r["dataset"], r.get("column")): r["score"]
+          for r in base if r["type"] == "join" and r["dataset"] == "trade prices"}
+    b1 = {(r["dataset"], r.get("column")): r["score"]
+          for r in boosted if r["type"] == "join" and r["dataset"] == "trade prices"}
+    assert b0 and b1.keys() == b0.keys()
+    for key in b0:
+        assert b1[key] == pytest.approx(10.0 * b0[key])  # R4 ×10
