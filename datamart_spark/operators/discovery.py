@@ -252,6 +252,9 @@ def augmentation_search(
     )
 
     def _profile(df):
+        # P10: the synthetic d3mIndex column is excluded everywhere the
+        # reference searches (search/join.py:54-56, union.py:35-37)
+        df = df.drop("d3mIndex")
         profs = profile_dataframe(df, compute_ranges=True)
         numeric = [p for p in profs if p.structural_type in (TYPE_INTEGER, TYPE_FLOAT)]
         text = [p for p in profs if p.structural_type == TYPE_TEXT]

@@ -217,3 +217,22 @@ def test_augmentation_search_keyword_multiplier(spark, aug_universe):
     assert b0 and b1.keys() == b0.keys()
     for key in b0:
         assert b1[key] == pytest.approx(10.0 * b0[key])  # R4 ×10
+
+
+def test_augmentation_search_excludes_d3mindex(spark):
+    """P10: the synthetic d3mIndex column never participates in
+    discovery (reference search/join.py:54-56, union.py:35-37)."""
+    from datamart_spark.operators.discovery import augmentation_search
+
+    inp = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "d3mIndex long, amount string"
+    ).selectExpr("cast(d3mIndex as string) d3mIndex", "amount")
+    cand = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "d3mIndex long, amount2 string"
+    ).selectExpr("cast(d3mIndex as string) d3mIndex", "amount2")
+    results = augmentation_search(inp, {"other": cand}, k=50)
+    for r in results:
+        assert r.get("column") != "d3mIndex"
+        assert r.get("input_column") != "d3mIndex"
+        if r["type"] == "union":
+            assert all("d3mIndex" not in pair[:2] for pair in r["matched_pairs"])
