@@ -64,3 +64,59 @@ def latest_per_url(corpus: DataFrame) -> DataFrame:
         .where(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+def assign_doc_ids(new_docs: DataFrame, start: int) -> DataFrame:
+    """Assign contiguous doc_ids ``start, start+1, ...`` to newly
+    ingested pages (deterministic: ordered by url).  Contiguity matters
+    because the index shards by doc-range (``doc_id // width``) — sparse
+    ids would leave shards underfilled.  The global sort is over the
+    DELTA only (one ingest batch), never the whole corpus; at 10^12-doc
+    scale an ingest batch is bounded by the trigger interval."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("url")
+    return new_docs.withColumn(
+        "doc_id", F.row_number().over(w).cast("long") + F.lit(start - 1)
+    )
+
+
+def ingest_and_index(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    catalog,
+) -> dict:
+    """The full incremental flow the reference runs per dataset message
+    (profiler/profiler.py:229-303: consume → profile → reindex), as one
+    resumable batch: drain new pages (exactly-once), assign doc_ids
+    beyond the committed range, append to the corpus table, and let the
+    grown-corpus resume path rebuild exactly the delta + boundary
+    shard.  Returns the new snapshot."""
+    from ..index import build_index
+
+    incremental_ingest(spark, landing_dir, corpus_dir + "_raw", checkpoint_dir)
+    raw = spark.read.parquet(corpus_dir + "_raw")
+
+    snap = catalog.current_snapshot()
+    start = snap["n_docs"] if snap else 0
+    import os
+
+    if os.path.isdir(corpus_dir):
+        corpus = spark.read.parquet(corpus_dir)
+        known = corpus.select("url")
+        fresh = raw.join(known, "url", "left_anti")
+    else:
+        corpus = None
+        fresh = raw
+    fresh = latest_per_url(
+        fresh.withColumn("doc_id", F.lit(0).cast("long"))
+        if "doc_id" not in fresh.columns else fresh
+    ).drop("ingest_time")
+    delta = assign_doc_ids(fresh.drop("doc_id"), start)
+    delta.select(*(corpus.columns if corpus is not None else delta.columns)) \
+        .write.mode("append").parquet(corpus_dir)
+
+    docs = spark.read.parquet(corpus_dir)
+    return build_index(docs, catalog, resume=True)
