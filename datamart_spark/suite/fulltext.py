@@ -36,6 +36,26 @@ def tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+# per-sf corpus constants (N, avgdl) for the index-free path: two tiny
+# aggregations that are pure functions of the corpus — caching them cuts
+# two driver round-trips from EVERY ad-hoc query (the indexed path reads
+# them from the snapshot instead)
+_DIRECT_STATS: dict[str, tuple[float, float]] = {}
+
+
+def _direct_stats(spark: SparkSession, sf_dir: str) -> tuple[float, float]:
+    st = _DIRECT_STATS.get(sf_dir)
+    if st is None:
+        docs = table(spark, sf_dir, "documents")
+        dl = tokens(docs).groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("double").alias("dl")
+        )
+        n_docs = float(docs.count())
+        avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
+        st = _DIRECT_STATS[sf_dir] = (n_docs, avgdl)
+    return st
+
+
 def bm25_direct(
     spark: SparkSession,
     sf_dir: str,
@@ -48,8 +68,7 @@ def bm25_direct(
     tok = tokens(docs)
 
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
-    n_docs = float(docs.count())
-    avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
+    n_docs, avgdl = _direct_stats(spark, sf_dir)
 
     tfq = tok.where(F.col("term").isin(terms))
     if lang is not None:

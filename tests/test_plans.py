@@ -60,3 +60,16 @@ def test_column_pruning_on_postings(spark, catalog):
     plan = _plan(post)
     # ReadSchema must not include the heavy varbyte payload columns
     assert "doc_ids_vb" not in plan.split("ReadSchema")[-1]
+
+
+def test_term_stats_idf_lookup_pushed(spark, catalog):
+    """idf_map must fetch only the query's terms: the `term IN (...)`
+    predicate reaches the parquet scan (driver memory O(query terms),
+    never O(vocabulary))."""
+    from pyspark.sql import functions as F
+
+    ts = catalog.read(spark, "term_stats").where(
+        F.col("term").isin(["the", "data"])
+    ).select("term", "df")
+    plan = _plan(ts)
+    assert "PushedFilters" in plan and "In(term" in plan, plan
