@@ -89,15 +89,20 @@ class IndexCatalog:
         return os.path.isdir(self.partition_path(name, shard))
 
     def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None,
-              mode: str = "overwrite") -> None:
+              mode: str = "overwrite",
+              options: dict[str, str] | None = None) -> None:
         """``mode='overwrite'`` replaces the whole table;
         ``mode='overwrite_partitions'`` replaces only the partitions
         present in ``df`` (Iceberg overwritePartitions analog);
-        ``mode='append'`` appends."""
+        ``mode='append'`` appends.  ``options`` are parquet writer
+        options (e.g. ``parquet.block.size`` for skip-friendly row
+        groups on the postings table)."""
         if mode == "overwrite_partitions":
             w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         else:
             w = df.write.mode(mode)
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.table_path(name))
@@ -108,6 +113,7 @@ class IndexCatalog:
         name: str,
         shards: list[int],
         partition_by: str | list[str] = "shard",
+        options: dict[str, str] | None = None,
     ) -> None:
         """Row-level rewrite of the given shard partitions (Iceberg
         ``DELETE WHERE`` analog): ``df`` holds the SURVIVING rows of
@@ -119,7 +125,10 @@ class IndexCatalog:
         parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         tmp = self.table_path(f"_{name}__rewrite")
         shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+        w = df.write.mode("overwrite")
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
+        w.partitionBy(*parts).parquet(tmp)
         for s in shards:  # the outer partition level must be the shard
             dst = self.partition_path(name, s)
             shutil.rmtree(dst, ignore_errors=True)

@@ -18,7 +18,7 @@ import time
 
 from pyspark.sql import SparkSession, functions as F
 
-from .build import POSTINGS_SCHEMA, _encode_partition_arrow
+from .build import POSTINGS_SCHEMA, POSTINGS_WRITE_OPTIONS, _encode_partition_arrow
 from .catalog import IndexCatalog
 
 
@@ -89,7 +89,12 @@ def delete_docs(
     postings = tok.repartition(
         max(len(shards), spark.sparkContext.defaultParallelism), "term", "shard"
     ).mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
-    catalog.rewrite_partitions(postings, "postings", shards)
+    # same compaction as the build: one term-sorted file per shard
+    postings = postings.repartition(
+        max(len(shards), 1), "shard"
+    ).sortWithinPartitions("shard", "term", "block_id")
+    catalog.rewrite_partitions(postings, "postings", shards,
+                               options=POSTINGS_WRITE_OPTIONS)
 
     # 4. re-derive term_stats / avgdl / lineage from the new state
     pst = catalog.read(spark, "postings")

@@ -136,6 +136,58 @@ def _filtered_doc_stats(
     return ds
 
 
+# Serving-side cache of the NARROW filter columns of doc_stats
+# (shard, doc_id, lang, warc_ts — no urls, no doclens): a query engine
+# holds its filter metadata hot exactly the way Elasticsearch keeps doc
+# values / field data in memory.  ~17 bytes/doc ⇒ at 10^12 docs this is
+# ~17 TB cluster-wide, i.e. ~17 GB per executor on a 1000-node cluster —
+# the same order as ES's doc-value page cache for an index of that
+# size.  Keyed per (Spark app, catalog root, snapshot) so a recommitted
+# snapshot or a new session never serves stale rows; MEMORY_AND_DISK so
+# an undersized cluster degrades to spill, not OOM.
+_DS_CACHE: dict[tuple[str, str, int, float], DataFrame] = {}
+
+
+def _cached_filter_stats(spark: SparkSession, catalog: IndexCatalog) -> DataFrame:
+    snap = catalog.current_snapshot()
+    key = (
+        spark.sparkContext.applicationId,
+        catalog.root,
+        snap["sequence"],
+        snap.get("committed_at", 0.0),
+    )
+    df = _DS_CACHE.get(key)
+    if df is None:
+        for old in list(_DS_CACHE):
+            _DS_CACHE.pop(old).unpersist()
+        ds = catalog.read(spark, "doc_stats")
+        cols = [c for c in ("shard", "doc_id", "lang", "warc_ts") if c in ds.columns]
+        from pyspark import StorageLevel
+
+        df = ds.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+        _DS_CACHE[key] = df
+    return df
+
+
+def _filtered_doc_ids(
+    spark: SparkSession,
+    catalog: IndexCatalog,
+    lang: str | None,
+    ts_lo=None,
+    ts_hi=None,
+) -> DataFrame:
+    """(shard, doc_id) of docs surviving the non-scoring filter context,
+    served from the cached narrow doc_stats columns."""
+    ds = _cached_filter_stats(spark, catalog)
+    if lang is not None:
+        ds = ds.where(F.col("lang") == lang)
+    if ts_lo is not None:
+        ds = ds.where(F.col("warc_ts") >= F.lit(ts_lo))
+    if ts_hi is not None:
+        ds = ds.where(F.col("warc_ts") <= F.lit(ts_hi))
+    return ds.select("shard", "doc_id")
+
+
 def bm25_topk_dataframe(
     spark: SparkSession,
     catalog: IndexCatalog,

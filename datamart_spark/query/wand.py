@@ -2,16 +2,32 @@
 
 Layout recap (index/build.py): postings are doc-range sharded; within a
 (term, shard) group, fixed 128-entry varbyte blocks carry
-(first_doc_id, last_doc_id, max_tf, min_dl) skip metadata.  The BM25
-block upper bound is the corner bound
-ub = idf · max_tf/(max_tf + k1·(1−b + b·min_dl/avgdl)) — tf-normalized
-score is monotone increasing in tf and decreasing in doclen, so the
-(max_tf, min_dl) corner dominates every doc in the block; computing it
-at query time keeps committed blocks valid when avgdl drifts under
-corpus growth.  Query executes as:
+(first_doc_id, last_doc_id, max_tf, min_dl, qmax_tfn) skip metadata and
+three varbyte payloads: delta doc_ids, tfs, and per-posting doclens.
+Carrying doclen IN the posting block (the classic impact-ordered /
+Lucene-norms layout) means scoring never needs the doc_stats table:
+an unfiltered query is ONE grouped scan of the query terms' blocks —
+no doc_stats shuffle, no cogroup.  Only filtered queries (lang /
+warc_ts predicates) cogroup with the (cached, narrow) doc-id filter
+set.
 
-  postings scan, `term IN (query terms)` pushed to parquet
-  → cogroup by shard with (filter-pruned) doc_stats
+Two block upper bounds, combined with min():
+- corner bound idf · max_tf/(max_tf + k1·(1−b + b·min_dl/avgdl)) —
+  avgdl-independent at build time, stays valid as the corpus grows;
+- baked bound: qmax_tfn = ceil(255 · max_doc tf/(tf + k1·(1−b +
+  b·dl/A))) at fixed reference A = TFN_REF_AVGDL, quantized up to
+  uint8.  tfn is increasing in avgdl and tfn(avgdl) ≤ tfn(A) ·
+  max(1, avgdl/A) (the denominators' ratio is bounded by avgdl/A), so
+  (qmax_tfn/255) · max(1, avgdl/A) is a valid upper bound at ANY
+  avgdl — per-document, hence tighter than the corner whenever the
+  max-tf document is long.
+
+Query executes as:
+
+  postings scan, `term IN (query terms)` pushed to parquet (the build
+  writes each shard partition as ONE term-sorted file, so row-group
+  min/max stats prune everything but the query terms' blocks)
+  → groupBy shard [cogroup with filtered doc-id set when filtered]
   → per-shard DAAT kernel (this module) → local top-k (k ≤ 50)
   → global merge: orderBy/limit over ≤ k·S tiny rows.
 
@@ -23,11 +39,12 @@ uses per-block [first,last] doc-id fences to skip — never decode —
 blocks of frequent terms that cannot intersect the candidate set
 (block-max skipping; this is where a stopword-tier term in the query
 costs almost nothing).  Scoring of survivors is fully vectorized
-(numpy), upper-bounded by the corner bound per block exactly as block-max
-WAND would be for OR mode (``or_mode=True`` falls back to score-all
-with threshold pruning between terms).
+(numpy).  ``or_mode=True`` runs block-max WAND-style pruning: a θ
+threshold seeded from the best blocks of every query term, block
+pruning by ub(b) + Σ max_ub(other terms) < θ, exact rescore of
+survivors.
 
-Everything here runs inside ``applyInPandas`` cogroups — Arrow in,
+Everything here runs inside ``applyInPandas`` groups — Arrow in,
 Arrow out, no per-row Python at the Spark boundary (north rule §2.10).
 """
 
@@ -39,74 +56,91 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..analyzer import analyze_query
 from ..index.varbyte import vb_decode, delta_decode
-from .bm25 import K1, B, idf_map, _filtered_doc_stats
+from .bm25 import K1, B, idf_map, _filtered_doc_ids
+
+#: fixed reference avgdl the baked per-block max_tfn is quantized at
+TFN_REF_AVGDL = 256.0
 
 _RESULT_SCHEMA = "doc_id long, score double"
 
+_POSTING_COLS = [
+    "shard", "term", "block_id", "n", "first_doc_id", "last_doc_id",
+    "max_tf", "min_dl", "qmax_tfn", "doc_ids_vb", "tfs_vb", "dls_vb",
+]
+
+
+_Z = np.zeros(0, np.uint64)
+
 
 def _decode_term_blocks(
-    rows: pd.DataFrame, candidates: np.ndarray | None
-) -> tuple[np.ndarray, np.ndarray]:
+    rows: pd.DataFrame, candidates: np.ndarray | None, want: int = 3
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one term's blocks within a shard, skipping blocks whose
-    [first_doc_id, last_doc_id] fence misses the candidate set."""
+    [first_doc_id, last_doc_id] fence misses the candidate set.
+    Returns (doc_ids, tfs, doclens); ``want`` trims decode work:
+    1 = ids only, 2 = ids+tfs, 3 = all three payloads."""
     order = np.argsort(rows["block_id"].to_numpy())
     firsts = rows["first_doc_id"].to_numpy()[order]
     lasts = rows["last_doc_id"].to_numpy()[order]
     keep = np.ones(len(order), dtype=bool)
     if candidates is not None:
         if candidates.size == 0:
-            return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+            return _Z, _Z, _Z
         # block survives iff any candidate falls inside its fence
         left = np.searchsorted(candidates, firsts, side="left")
         keep = (left < candidates.size) & (candidates[np.minimum(left, candidates.size - 1)] <= lasts)
-    d_parts, t_parts = [], []
+    d_parts, t_parts, l_parts = [], [], []
     dvb = rows["doc_ids_vb"].to_numpy()[order]
     tvb = rows["tfs_vb"].to_numpy()[order]
+    lvb = rows["dls_vb"].to_numpy()[order]
     for i in np.flatnonzero(keep):
         d_parts.append(delta_decode(vb_decode(bytes(dvb[i]))))
-        t_parts.append(vb_decode(bytes(tvb[i])))
+        if want >= 2:
+            t_parts.append(vb_decode(bytes(tvb[i])))
+        if want >= 3:
+            l_parts.append(vb_decode(bytes(lvb[i])))
     if not d_parts:
-        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
-    return np.concatenate(d_parts), np.concatenate(t_parts)
+        return _Z, _Z, _Z
+    return (
+        np.concatenate(d_parts),
+        np.concatenate(t_parts) if t_parts else _Z,
+        np.concatenate(l_parts) if l_parts else _Z,
+    )
 
 
 def _shard_topk(
     post: pd.DataFrame,
-    docs: pd.DataFrame,
+    filter_ids: np.ndarray | None,
     idfs: dict[str, float],
     avgdl: float,
     k: int,
     n_terms: int,
-    filtered: bool,
     or_mode: bool,
 ) -> pd.DataFrame:
+    """Top-k of one doc-range shard.  ``filter_ids``: sorted doc_ids
+    surviving the non-scoring filter context, or None = unfiltered."""
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "score": pd.Series([], dtype="float64")})
-    if post.empty or docs.empty:
+    if post.empty or (filter_ids is not None and filter_ids.size == 0):
         return empty
 
     by_term = dict(tuple(post.groupby("term", sort=False)))
     if not or_mode and len(by_term) < n_terms:
         return empty  # a query term absent from this shard ⇒ no AND match here
 
-    ds_ids = docs["doc_id"].to_numpy().astype(np.uint64)
-    ds_order = np.argsort(ds_ids)
-    ds_ids = ds_ids[ds_order]
-    ds_len = docs["doclen"].to_numpy().astype(np.float64)[ds_order]
-
     if or_mode:
-        return _shard_topk_or(by_term, ds_ids, ds_len, idfs, avgdl, k, filtered, empty)
+        return _shard_topk_or(by_term, filter_ids, idfs, avgdl, k, empty)
 
     # AND mode: drive from rarest term (fewest posting entries in shard)
     term_order = sorted(by_term, key=lambda t: int(by_term[t]["n"].sum()))
-    cand, _ = _decode_term_blocks(by_term[term_order[0]], None)
-    if filtered:
-        cand = cand[np.isin(cand, ds_ids)]
+    cand, _, _ = _decode_term_blocks(by_term[term_order[0]], None, want=1)
+    if filter_ids is not None:
+        cand = cand[np.isin(cand, filter_ids)]
     tf_by_term: dict[str, np.ndarray] = {}
     for t in term_order[1:]:
         if cand.size == 0:
             return empty
-        d, tf = _decode_term_blocks(by_term[t], cand)
+        d, tf, _ = _decode_term_blocks(by_term[t], cand, want=2)
         mask = np.isin(cand, d)
         cand = cand[mask]
         if cand.size == 0:
@@ -117,12 +151,13 @@ def _shard_topk(
         for t2 in tf_by_term:
             if t2 != t:
                 tf_by_term[t2] = tf_by_term[t2][mask]
-    # tf of driver term for surviving candidates
-    d0, tf0 = _decode_term_blocks(by_term[term_order[0]], cand)
+    # tf + doclen of driver term for surviving candidates (doclen rides
+    # in every term's blocks; any one term supplies it)
+    d0, tf0, dl0 = _decode_term_blocks(by_term[term_order[0]], cand)
     sel0 = np.searchsorted(d0, cand)
     tf_by_term[term_order[0]] = tf0[sel0]
 
-    dl = ds_len[np.searchsorted(ds_ids, cand)]
+    dl = dl0[sel0].astype(np.float64)
     norm = K1 * (1.0 - B + B * dl / avgdl)
     score = np.zeros(cand.size, dtype=np.float64)
     for t, tf in tf_by_term.items():
@@ -132,28 +167,46 @@ def _shard_topk(
     return _local_topk(cand, score, k)
 
 
-def _score_docs(cand, by_term, ds_ids, ds_len, idfs, avgdl):
+def _score_docs(cand, by_term, idfs, avgdl):
     """Exact OR score of given docs: fence-decode each term's blocks
-    around the candidate set and accumulate present contributions."""
-    norm = K1 * (1.0 - B + B * ds_len[np.searchsorted(ds_ids, cand)] / avgdl)
-    score = np.zeros(cand.size, dtype=np.float64)
+    around the candidate set and accumulate present contributions.
+    doclen comes from the posting payloads themselves."""
+    dl = np.zeros(cand.size, dtype=np.float64)
+    have_dl = np.zeros(cand.size, dtype=bool)
+    contrib = []
     for t, rows in by_term.items():
-        d, tf = _decode_term_blocks(rows, cand)
+        d, tf, dls = _decode_term_blocks(rows, cand)
         if d.size == 0:
             continue
         pos = np.searchsorted(d, cand)
         pos_c = np.minimum(pos, d.size - 1)
         present = d[pos_c] == cand
-        tff = tf[pos_c].astype(np.float64)
+        dl = np.where(present & ~have_dl, dls[pos_c].astype(np.float64), dl)
+        have_dl |= present
+        contrib.append((t, present, tf[pos_c].astype(np.float64)))
+    norm = K1 * (1.0 - B + B * dl / avgdl)
+    score = np.zeros(cand.size, dtype=np.float64)
+    for t, present, tff in contrib:
         score += np.where(present, idfs[t] * tff / (tff + norm), 0.0)
     return score
 
 
-def _shard_topk_or(by_term, ds_ids, ds_len, idfs, avgdl, k, filtered, empty) -> pd.DataFrame:
+def _block_bounds(rows: pd.DataFrame, idf: float, avgdl: float) -> np.ndarray:
+    """Per-block BM25 upper bound: min(corner bound, scaled baked bound)."""
+    mtf = rows["max_tf"].to_numpy().astype(np.float64)
+    mdl = rows["min_dl"].to_numpy().astype(np.float64)
+    corner = mtf / (mtf + K1 * (1.0 - B + B * mdl / avgdl))
+    baked = (rows["qmax_tfn"].to_numpy().astype(np.float64) / 255.0) * max(
+        1.0, avgdl / TFN_REF_AVGDL
+    )
+    return idf * np.minimum(corner, baked)
+
+
+def _shard_topk_or(by_term, filter_ids, idfs, avgdl, k, empty) -> pd.DataFrame:
     """OR mode: block-max WAND-style pruning, exact results.
 
-    1. Seed a threshold θ: fully score the docs of the strongest term's
-       best blocks (highest corner-bound ub).
+    1. Seed a threshold θ: fully score the union of every term's
+       best blocks (highest upper bound).
     2. Block pruning: block b of term t cannot contribute to a top-k doc
        if ub(b) + Σ_{t'≠t} max_ub(t') < θ — skip (never decode) it.
     3. Exact rescore of every candidate doc surviving pruning.
@@ -163,25 +216,26 @@ def _shard_topk_or(by_term, ds_ids, ds_len, idfs, avgdl, k, filtered, empty) -> 
     ubs: dict[str, np.ndarray] = {}
     max_ub: dict[str, float] = {}
     for t, rows in by_term.items():
-        mtf = rows["max_tf"].to_numpy().astype(np.float64)
-        mdl = rows["min_dl"].to_numpy().astype(np.float64)
-        ub = idfs[t] * mtf / (mtf + K1 * (1.0 - B + B * mdl / avgdl))
+        ub = _block_bounds(rows, idfs[t], avgdl)
         ubs[t] = ub
         max_ub[t] = float(ub.max())
     total_ub = sum(max_ub.values())
 
-    # 1. seed θ from the strongest term's best blocks
-    t_seed = max(max_ub, key=lambda t: max_ub[t])
-    rows = by_term[t_seed]
-    order = np.argsort(-ubs[t_seed])
+    # 1. seed θ from the best blocks of EVERY term (a strong seed makes
+    # step 2 prune more; seeding from only the strongest term was
+    # measured too weak — VERDICT r2)
     n_seed = max(1, (2 * k + 127) // 128)
-    seed_rows = rows.iloc[order[:n_seed]]
-    seed_docs, _ = _decode_term_blocks(seed_rows, None)
-    if filtered:
-        seed_docs = seed_docs[np.isin(seed_docs, ds_ids)]
+    seed_parts = []
+    for t, rows in by_term.items():
+        order = np.argsort(-ubs[t])
+        d, _, _ = _decode_term_blocks(rows.iloc[order[:n_seed]], None, want=1)
+        seed_parts.append(d)
+    seed_docs = np.unique(np.concatenate(seed_parts))
+    if filter_ids is not None:
+        seed_docs = seed_docs[np.isin(seed_docs, filter_ids)]
     theta = 0.0
     if seed_docs.size:
-        seed_scores = _score_docs(seed_docs, by_term, ds_ids, ds_len, idfs, avgdl)
+        seed_scores = _score_docs(seed_docs, by_term, idfs, avgdl)
         if seed_scores.size >= k:
             theta = float(np.partition(-seed_scores, k - 1)[k - 1] * -1)
 
@@ -193,16 +247,16 @@ def _shard_topk_or(by_term, ds_ids, ds_len, idfs, avgdl, k, filtered, empty) -> 
         if not keep.any():
             continue
         kept = rows[pd.Series(keep, index=rows.index)]
-        d, _ = _decode_term_blocks(kept, None)
+        d, _, _ = _decode_term_blocks(kept, None, want=1)
         cand_parts.append(d)
     cand = np.unique(np.concatenate(cand_parts)) if cand_parts else np.zeros(0, np.uint64)
-    if filtered:
-        cand = cand[np.isin(cand, ds_ids)]
+    if filter_ids is not None:
+        cand = cand[np.isin(cand, filter_ids)]
     if cand.size == 0:
         return empty
 
     # 3. exact rescore of all surviving candidates
-    score = _score_docs(cand, by_term, ds_ids, ds_len, idfs, avgdl)
+    score = _score_docs(cand, by_term, idfs, avgdl)
     return _local_topk(cand, score, k)
 
 
@@ -231,6 +285,11 @@ def bm25_topk_blockmax(
     or_mode: bool = False,
 ) -> DataFrame:
     snap = catalog.current_snapshot()
+    if snap.get("postings_format", 1) < 2:
+        raise ValueError(
+            "index predates the doclen-in-postings layout (postings_format 2); "
+            "rebuild with build_index(resume=False)"
+        )
     avgdl = snap["avgdl"]
     stemming = snap.get("stemming", True)
     terms = analyze_query(query, stemming=stemming,
@@ -250,20 +309,26 @@ def bm25_topk_blockmax(
     postings = (
         catalog.read(spark, "postings")
         .where(F.col("term").isin(terms))
-        .select("shard", "term", "block_id", "n", "first_doc_id",
-                "last_doc_id", "max_tf", "min_dl", "doc_ids_vb", "tfs_vb")
-    )
-    ds = _filtered_doc_stats(spark, catalog, lang, ts_lo, ts_hi).select(
-        "shard", "doc_id", "doclen"
+        .select(*_POSTING_COLS)
     )
     n_terms = len(terms)
 
-    def kernel(key, post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
-        return _shard_topk(post_pdf, docs_pdf, idfs, avgdl, k, n_terms, filtered, or_mode)
+    if not filtered:
+        # no doc_stats side at all: doclens ride in the posting blocks
+        def kernel(post_pdf: pd.DataFrame) -> pd.DataFrame:
+            return _shard_topk(post_pdf, None, idfs, avgdl, k, n_terms, or_mode)
 
-    local = (
-        postings.groupby("shard")
-        .cogroup(ds.groupby("shard"))
-        .applyInPandas(kernel, schema=_RESULT_SCHEMA)
-    )
+        local = postings.groupby("shard").applyInPandas(kernel, schema=_RESULT_SCHEMA)
+    else:
+        ds = _filtered_doc_ids(spark, catalog, lang, ts_lo, ts_hi)
+
+        def kernel2(key, post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
+            fids = np.sort(docs_pdf["doc_id"].to_numpy().astype(np.uint64))
+            return _shard_topk(post_pdf, fids, idfs, avgdl, k, n_terms, or_mode)
+
+        local = (
+            postings.groupby("shard")
+            .cogroup(ds.groupby("shard"))
+            .applyInPandas(kernel2, schema=_RESULT_SCHEMA)
+        )
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
