@@ -332,6 +332,10 @@ def build_index(
         n_docs = docs.count()
     mark("count")
 
+    if resume:
+        # roll back any rewrite that crashed mid-swap before trusting
+        # partition directories (catalog.recover docstring)
+        catalog.recover()
     snap = catalog.current_snapshot() if resume else None
     if snap:
         if (
@@ -350,11 +354,20 @@ def build_index(
                 f"< {POSTINGS_FORMAT}; resuming would mix block layouts — "
                 "rebuild with resume=False (or drop() the catalog)"
             )
-        old_n = snap["n_docs"]
+        # growth/boundary bookkeeping keys off the doc-id HIGH-WATER MARK
+        # (next_doc_id), never the index's live-doc count: delete_docs
+        # shrinks n_docs while surviving ids stay sparse, and a fresh
+        # ingest must not re-use deleted ids (ADVICE r2: id collision
+        # silently merges two documents).  Corpus contract: doc_ids are
+        # assigned contiguously from 0 (streaming/ingest.assign_doc_ids),
+        # and the corpus table never loses rows (delete_docs removes
+        # docs from the INDEX only), so corpus count == high-water mark.
+        old_n = snap.get("next_doc_id", snap["n_docs"])
         if n_docs < old_n:
             raise ValueError(
-                f"corpus shrank ({old_n} → {n_docs}); use delete_docs() for "
-                "removals — rebuilding over fewer docs would orphan postings"
+                f"corpus shrank below the indexed high-water mark ({old_n} → "
+                f"{n_docs}); use delete_docs() for removals — rebuilding over "
+                "fewer docs would orphan postings"
             )
         width = snap["shard_width"]
         n_shards = max(snap["n_shards"], -(-n_docs // width) if n_docs else 0)
@@ -441,13 +454,19 @@ def build_index(
                 sent, "doc_stats", partition_by=["shard"],
                 mode="overwrite" if fresh else "overwrite_partitions",
             )
-        # avgdl over ALL docs incl. empty ones — one agg over the small
-        # doc_stats table (sentinels), never a scan of token-scale data
-        dl_sum = (
-            catalog.read(spark, "doc_stats").agg(F.sum("doclen").alias("s"))
-            .collect()[0]["s"]
+        # avgdl + live-doc count over ALL docs incl. empty ones — one agg
+        # over the small doc_stats table (sentinels), never a scan of
+        # token-scale data.  The doc_stats row count (not the corpus
+        # count) is the index's true N for idf/avgdl: after delete_docs
+        # the corpus table still holds removed rows
+        row = (
+            catalog.read(spark, "doc_stats")
+            .agg(F.sum("doclen").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
         )
-        avgdl_box.append(float(dl_sum or 0) / n_docs if n_docs else 0.0)
+        n_live = int(row["n"])
+        avgdl_box.append(float(row["s"] or 0) / n_live if n_live else 0.0)
+        avgdl_box.append(n_live)
 
     stat_jobs.append(pool.submit(_doc_stats_and_avgdl))
 
@@ -498,7 +517,7 @@ def build_index(
         mark("postings")
     for j in stat_jobs:
         j.result()
-    avgdl = avgdl_box[0]
+    avgdl, n_live = avgdl_box[0], int(avgdl_box[1])
     mark("doc_stats_avgdl")
 
     # term_stats + per-shard lineage metrics, both DERIVED from the
@@ -523,13 +542,25 @@ def build_index(
     if snap:
         for s, m in snap.get("shards", {}).items():
             per_shard.setdefault(s, m)
+    if grown and only_shards is not None:
+        # a bounded grown run that excluded delta shards must NOT claim
+        # them: their on-disk postings (the boundary shard's OLD
+        # partition) predate the delta's tokens/doc_stats rewrite, and a
+        # later resume sees n_docs unchanged + partition_exists and would
+        # trust them forever (ADVICE r2).  Dropping their lineage makes
+        # the next resume rebuild exactly those shards.
+        for s in set(range(delta_start // width, n_shards)) - set(todo):
+            per_shard.pop(str(s), None)
     mark("metrics")
 
     elapsed = time.time() - t0
     manifest = {
         "phase_seconds": phases,
         "postings_format": POSTINGS_FORMAT,
-        "n_docs": n_docs,
+        "n_docs": n_live,
+        # doc-id high-water mark + 1: monotone across grown builds and
+        # deletes; the ONLY safe base for new doc_id allocation
+        "next_doc_id": max(n_docs, old_n),
         "n_shards": n_shards,
         "shard_width": width,
         "avgdl": avgdl,

@@ -19,12 +19,29 @@ same contract over parquet directories + JSON snapshot manifests:
   disk (``partition_exists``) — a manifest is trusted only as far as
   the storage agrees with it.
 
-Crash model: table writes land BEFORE the snapshot commit; a crash
-mid-build leaves extra partition data but the previous snapshot still
-describes a consistent index, and the next resume rewrites exactly the
-non-committed partitions (dynamic overwrite is idempotent per
-partition).  On a real cluster, swap `_write`/`_read` for
-``df.writeTo(...)`` on an Iceberg catalog; build/query code stays.
+Crash model (per mutation path):
+
+- FRESH build: table writes land before the snapshot commit; a crash
+  leaves extra partition data that the next resume overwrites
+  idempotently — the previous snapshot stays consistent.
+- GROWN build: delta partitions are replaced by Spark's dynamic
+  partition overwrite (staged, job-commit atomic).  A crash between a
+  job commit and the snapshot commit can briefly expose newer rows
+  under the old snapshot (e.g. boundary-shard postings containing
+  not-yet-committed docs); re-running the build converges.  Real
+  Iceberg closes this window with its atomic snapshot swap — this is
+  the one place the parquet stand-in is weaker, by design.
+- delete_docs (``rewrite_partitions``): partitions are swapped via
+  rename with a ``_pending_rewrite`` marker on disk; each partition
+  swap is atomic (same-fs rename).  A crash mid-swap leaves the marker;
+  ``recover()`` — called automatically on snapshot reads — rolls every
+  half-swapped partition back to its pre-delete state, and the
+  delete is re-run (delete_docs is idempotent).  A crash after all
+  swaps but before the snapshot commit leaves the delete visible
+  early — acceptable for delete-by-query semantics.
+
+On a real cluster, swap `_write`/`_read` for ``df.writeTo(...)`` on an
+Iceberg catalog; build/query code stays.
 """
 
 from __future__ import annotations
@@ -107,6 +124,9 @@ class IndexCatalog:
             w = w.partitionBy(*partition_by)
         w.parquet(self.table_path(name))
 
+    def _pending_path(self, name: str) -> str:
+        return os.path.join(self.root, f"_pending_rewrite_{name}.json")
+
     def rewrite_partitions(
         self,
         df: DataFrame,
@@ -121,7 +141,12 @@ class IndexCatalog:
         then swapped in per partition — required because ``df`` usually
         reads from the same table (Spark cannot overwrite a path it is
         reading), and partitions that end up EMPTY must have their
-        directories removed (dynamic overwrite would leave them stale)."""
+        directories removed (dynamic overwrite would leave them stale).
+
+        Crash-safe via a pending marker: each partition swap renames the
+        committed directory to ``<dst>.old`` before moving the new one
+        in, and the marker is removed only after every ``.old`` is
+        cleaned up.  ``recover()`` rolls half-swapped partitions back."""
         parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         tmp = self.table_path(f"_{name}__rewrite")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -129,13 +154,49 @@ class IndexCatalog:
         for k, v in (options or {}).items():
             w = w.option(k, v)
         w.partitionBy(*parts).parquet(tmp)
+        marker = self._pending_path(name)
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"shards": shards}, f)
+        os.rename(marker + ".tmp", marker)
         for s in shards:  # the outer partition level must be the shard
             dst = self.partition_path(name, s)
-            shutil.rmtree(dst, ignore_errors=True)
+            old = dst + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(dst):
+                os.rename(dst, old)
             src = os.path.join(tmp, f"{parts[0]}={s}")
             if os.path.isdir(src):
                 shutil.move(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
+        os.remove(marker)
         shutil.rmtree(tmp, ignore_errors=True)
+
+    def recover(self) -> list[str]:
+        """Roll back any rewrite that crashed mid-swap: for every
+        pending marker, restore each partition whose ``.old`` directory
+        survives (the swap for that partition did not complete — rename
+        is atomic, so ``.old`` present means the OLD data is the safe
+        copy unless the new directory fully arrived AND its ``.old``
+        cleanup was the only step left; restoring old is always
+        consistent with the still-current snapshot).  Returns the table
+        names recovered."""
+        recovered = []
+        for f in os.listdir(self.root):
+            if not (f.startswith("_pending_rewrite_") and f.endswith(".json")):
+                continue
+            name = f[len("_pending_rewrite_"):-len(".json")]
+            with open(os.path.join(self.root, f)) as fh:
+                shards = json.load(fh)["shards"]
+            for s in shards:
+                dst = self.partition_path(name, s)
+                old = dst + ".old"
+                if os.path.isdir(old):
+                    shutil.rmtree(dst, ignore_errors=True)
+                    os.rename(old, dst)
+            shutil.rmtree(self.table_path(f"_{name}__rewrite"), ignore_errors=True)
+            os.remove(os.path.join(self.root, f))
+            recovered.append(name)
+        return recovered
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.table_path(name))

@@ -30,7 +30,16 @@ def delete_docs(
 ) -> dict:
     """Remove documents (by doc_id and/or url) from every index table,
     rebuilding only the shard partitions that contained them.  Returns
-    the new committed snapshot."""
+    the new committed snapshot.
+
+    Scope: this deletes from the INDEX, not from the corpus table.  If
+    the deleted docs remain in the corpus, a later grown-corpus build
+    re-analyzes the boundary shard from the corpus and will re-index any
+    deleted docs still sitting in that shard's doc range — delete them
+    from the corpus table too when removal must be permanent.  Deleted
+    doc_ids are never re-allocated (the snapshot's next_doc_id high-water
+    mark is monotone)."""
+    catalog.recover()  # roll back any earlier delete that crashed mid-swap
     snap = catalog.current_snapshot()
     if not snap:
         raise ValueError("nothing committed in this catalog")

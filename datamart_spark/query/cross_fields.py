@@ -67,6 +67,10 @@ def cross_fields_topk(
     title_boost: float = 10.0,
 ) -> DataFrame:
     """Top-k (doc_id, score) under cross_fields/AND semantics."""
+    # dedupe, order-preserving: the AND gate below compares the count of
+    # DISTINCT matched terms per doc against len(terms) — a duplicated
+    # query term would make it unsatisfiable (ADVICE r2)
+    terms = list(dict.fromkeys(terms))
     tok = _field_tokens(docs)
     n_docs = float(docs.count())
 

@@ -42,8 +42,12 @@ def search(
     if not meta_cols:
         return hits.orderBy(F.desc("score"), F.asc("doc_id"))
     meta = catalog.read(spark, "doc_stats").select("doc_id", *meta_cols)
+    # broadcast the ≤k-row hits side: doc_stats (10^12 rows at target
+    # scale) must never be shuffled to hydrate 50 hits — the broadcast
+    # hash join streams doc_stats partitions map-side (plan-asserted in
+    # tests/test_plans.py)
     return (
-        hits.join(meta, "doc_id")
+        F.broadcast(hits).join(meta, "doc_id")
         .select("doc_id", *meta_cols, "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )

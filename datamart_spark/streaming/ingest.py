@@ -99,9 +99,25 @@ def ingest_and_index(
     incremental_ingest(spark, landing_dir, corpus_dir + "_raw", checkpoint_dir)
     raw = spark.read.parquet(corpus_dir + "_raw")
 
-    snap = catalog.current_snapshot()
-    start = snap["n_docs"] if snap else 0
     import os
+
+    # New ids start at the doc-id HIGH-WATER MARK, never at n_docs:
+    # delete_docs shrinks n_docs while surviving ids stay sparse, and a
+    # crash between the corpus append and the first snapshot commit
+    # leaves docs in the corpus with no snapshot — either way, allocating
+    # from n_docs would collide with existing documents and silently
+    # merge two documents under one id (ADVICE r2).  The snapshot's
+    # next_doc_id is authoritative; with no snapshot, the corpus itself
+    # is (one max() agg over the delta-free corpus table).
+    snap = catalog.current_snapshot()
+    start = snap.get("next_doc_id", snap["n_docs"]) if snap else 0
+    if os.path.isdir(corpus_dir):
+        # the corpus can be AHEAD of the snapshot (crash after a prior
+        # append, before its index build committed) — those rows hold
+        # ids too, so take the max of both sources
+        hwm = spark.read.parquet(corpus_dir).agg(F.max("doc_id")).collect()[0][0]
+        if hwm is not None:
+            start = max(start, int(hwm) + 1)
 
     if os.path.isdir(corpus_dir):
         corpus = spark.read.parquet(corpus_dir)

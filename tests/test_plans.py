@@ -73,3 +73,15 @@ def test_term_stats_idf_lookup_pushed(spark, catalog):
     ).select("term", "df")
     plan = _plan(ts)
     assert "PushedFilters" in plan and "In(term" in plan, plan
+
+
+def test_search_hydration_broadcasts_hits(spark, catalog):
+    """Hydrating top-k hits with url/lang/ts must broadcast the ≤k-row
+    hits side — doc_stats (10^12 rows at target scale) must never be
+    shuffled for 50 rows (VERDICT r2 #6)."""
+    from datamart_spark.query import search
+
+    df = search(spark, catalog, "the data", k=10)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

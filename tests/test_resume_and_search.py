@@ -143,3 +143,104 @@ def test_delete_docs_rank_identical_to_fresh_subset(spark, tmp_path):
     assert a == b and len(a) > 0
     got_ids = {r["doc_id"] for r in bm25_topk_blockmax(spark, cat, "the", k=50, or_mode=True).collect()}
     assert not (got_ids & set(drop_ids))
+
+
+def test_grown_only_shards_drops_stranded_lineage(spark, tmp_path):
+    """ADVICE (r2, medium): a bounded grown run (only_shards excluding
+    part of the delta) must not commit lineage for the excluded delta
+    shards — their on-disk postings predate the delta rewrite, and a
+    later resume would otherwise trust them forever."""
+    cat = IndexCatalog(str(tmp_path / "gos"))
+    build_index(generate_documents(spark, 450), cat, n_shards=4, resume=False)
+
+    # grow to 800 (delta shards = {3..7}) but build only {4,5}
+    m = build_index(generate_documents(spark, 800), cat, only_shards=[4, 5])
+    assert m["built_shards_this_run"] == [4, 5]
+    # stranded delta shards 3 (boundary, stale postings on disk), 6, 7
+    # must be absent from lineage so the next resume rebuilds them
+    assert set(m["shards"]) == {"0", "1", "2", "4", "5"}
+
+    m2 = build_index(generate_documents(spark, 800), cat)  # plain resume
+    assert m2["built_shards_this_run"] == [3, 6, 7]
+
+    fresh = IndexCatalog(str(tmp_path / "gos_fresh"))
+    build_index(generate_documents(spark, 800), fresh, resume=False)
+    q = f"{_VOCAB[40]} {_VOCAB[300]}"
+    a = [(r["doc_id"], round(r["score"], 9))
+         for r in bm25_topk_blockmax(spark, cat, q, k=15).collect()]
+    b = [(r["doc_id"], round(r["score"], 9))
+         for r in bm25_topk_blockmax(spark, fresh, q, k=15).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_recover_rolls_back_half_swapped_partition(spark, tmp_path):
+    """ADVICE (r2, medium): a delete that crashes mid-partition-swap
+    leaves a pending marker; recover() must restore the committed
+    partition state before anything trusts the directories."""
+    import json
+    import os
+    import shutil
+
+    cat = IndexCatalog(str(tmp_path / "rec"))
+    build_index(generate_documents(spark, 300), cat, n_shards=4, resume=False)
+    q = f"{_VOCAB[40]} {_VOCAB[120]}"
+    before = [(r["doc_id"], round(r["score"], 9))
+              for r in bm25_topk_blockmax(spark, cat, q, k=10).collect()]
+
+    # simulate a crash between `rename(dst, old)` and the new move:
+    dst = cat.partition_path("postings", 1)
+    os.rename(dst, dst + ".old")
+    with open(cat._pending_path("postings"), "w") as f:
+        json.dump({"shards": [1, 2]}, f)
+    # ...and one where junk new data arrived but .old still exists
+    dst2 = cat.partition_path("postings", 2)
+    os.rename(dst2, dst2 + ".old")
+    os.makedirs(dst2)
+
+    assert cat.recover() == ["postings"]
+    assert cat.partition_exists("postings", 1)
+    assert not os.path.isdir(dst + ".old") and not os.path.isdir(dst2 + ".old")
+    assert not os.path.exists(cat._pending_path("postings"))
+
+    after = [(r["doc_id"], round(r["score"], 9))
+             for r in bm25_topk_blockmax(spark, cat, q, k=10).collect()]
+    assert after == before and len(after) > 0
+    # idempotent when nothing is pending
+    assert cat.recover() == []
+
+
+def test_delete_then_ingest_never_reuses_doc_ids(spark, tmp_path):
+    """ADVICE (r2, high): new ingests must allocate doc_ids from the
+    high-water mark, not the post-delete n_docs — otherwise two distinct
+    documents silently merge under one id."""
+    from datamart_spark.index import delete_docs
+    from datamart_spark.streaming.ingest import ingest_and_index
+
+    landing = str(tmp_path / "landing")
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    cat = IndexCatalog(str(tmp_path / "cat"))
+
+    docs = generate_documents(spark, 500).drop("doc_id")
+    first = docs.orderBy("url").limit(400)
+    first.write.parquet(landing)
+    m1 = ingest_and_index(spark, landing, corpus_dir, ckpt, cat)
+    assert m1["n_docs"] == 400 and m1["next_doc_id"] == 400
+
+    m2 = delete_docs(spark, cat, doc_ids=[0, 1, 2])
+    assert m2["n_docs"] == 397
+    assert m2["next_doc_id"] == 400  # high-water mark never decreases
+
+    rest = docs.join(first.select("url"), "url", "left_anti")
+    rest.write.mode("append").parquet(landing)
+    m3 = ingest_and_index(spark, landing, corpus_dir, ckpt, cat)
+    assert m3["next_doc_id"] == 500
+    assert m3["n_docs"] == 497  # 400 - 3 deleted + 100 new
+
+    ds = cat.read(spark, "doc_stats")
+    n_rows = ds.count()
+    n_ids = ds.select("doc_id").distinct().count()
+    assert n_rows == n_ids == 497  # no id collisions, deletes stay deleted
+    ids = {r["doc_id"] for r in ds.select("doc_id").collect()}
+    assert not ({0, 1, 2} & ids)
+    assert max(ids) == 499
