@@ -15,10 +15,12 @@ decoded via pandas on the driver (these formats are single-small-file
 by construction in the reference; a >memory Stata file was never
 supported there either).
 
-Formats needing libraries absent from this sandbox (Excel → openpyxl/
-xlrd, SPSS → pyreadstat) raise ``ConverterUnavailable`` with the exact
-dependency, mirroring the multimodal codec-stub discipline — the
-detection chain, registry and plumbing are real and tested.
+.xlsx converts with a stdlib-only reader (zipfile + ElementTree — an
+xlsx is a zip of XML parts).  Formats needing libraries absent from
+this sandbox (legacy .xls → xlrd, SPSS → pyreadstat) raise
+``ConverterUnavailable`` with the exact dependency, mirroring the
+multimodal codec-stub discipline — the detection chain, registry and
+plumbing are real and tested.
 """
 
 from __future__ import annotations
@@ -104,17 +106,149 @@ def stata_to_csv(src: str, dst: str) -> None:
             first = False
 
 
+# xlsx numFmtIds that render as dates (ECMA-376 §18.8.30 builtins)
+_XLSX_DATE_FMT_IDS = frozenset(
+    list(range(14, 23)) + list(range(27, 37)) + [45, 46, 47] + list(range(50, 59))
+)
+
+
+def _xlsx_is_date_fmt(code: str) -> bool:
+    """Custom format code → is it a date/time format?  Strip quoted
+    literals, backslash escapes and [] sections, then look for
+    date/time tokens (the same heuristic openpyxl uses)."""
+    import re
+
+    bare = re.sub(r'"[^"]*"|\\.|\[[^\]]*\]', "", code)
+    return bool(re.search(r"[ymdhs]", bare, re.IGNORECASE))
+
+
+def _xlsx_serial_to_iso(serial: float, date1904: bool) -> str:
+    """Excel serial date → ISO-8601 (xlrd.xldate_as_datetime parity:
+    1900 system epoch 1899-12-30 absorbing the Lotus leap-year bug;
+    1904 system epoch 1904-01-01)."""
+    import datetime as dt
+
+    epoch = dt.datetime(1904, 1, 1) if date1904 else dt.datetime(1899, 12, 30)
+    return (epoch + dt.timedelta(days=serial)).isoformat()
+
+
+def xlsx_to_csv(src: str, dst: str) -> None:
+    """S6 converter, stdlib-only: an .xlsx is a zip of XML parts —
+    ``zipfile`` + ``ElementTree`` read sharedStrings, styles (for date
+    formats) and the single sheet.  Output matches the reference's
+    xlrd-based converter (lib_materialize/excel.py:8-31): exactly one
+    sheet required, dates → ISO-8601, numbers via '%g' (no forced
+    decimal point on integers)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main",
+          "r": "http://schemas.openxmlformats.org/officeDocument/2006/relationships"}
+    rns = {"p": "http://schemas.openxmlformats.org/package/2006/relationships"}
+
+    with zipfile.ZipFile(src) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        pr = wb.find("m:workbookPr", ns)
+        date1904 = pr is not None and pr.get("date1904") in ("1", "true")
+        sheets = wb.findall("m:sheets/m:sheet", ns)
+        if len(sheets) != 1:
+            raise ValueError("Excel workbook has %d sheets" % len(sheets))
+        rid = sheets[0].get(
+            "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+        )
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        target = next(
+            rel.get("Target") for rel in rels.findall("p:Relationship", rns)
+            if rel.get("Id") == rid
+        )
+        sheet_path = "xl/" + target.lstrip("/").removeprefix("xl/")
+
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in sst.findall("m:si", ns):
+                shared.append("".join(t.text or "" for t in si.iter(
+                    "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
+                )))
+
+        # style index → is-date (cellXfs xf order = cell s attribute)
+        date_style: list[bool] = []
+        if "xl/styles.xml" in z.namelist():
+            st = ET.fromstring(z.read("xl/styles.xml"))
+            custom = {
+                int(f.get("numFmtId")): f.get("formatCode", "")
+                for f in st.findall("m:numFmts/m:numFmt", ns)
+            }
+            for xf in st.findall("m:cellXfs/m:xf", ns):
+                fid = int(xf.get("numFmtId", "0"))
+                date_style.append(
+                    fid in _XLSX_DATE_FMT_IDS
+                    or (fid in custom and _xlsx_is_date_fmt(custom[fid]))
+                )
+
+        def col_index(ref: str) -> int:
+            i = 0
+            for ch in ref:
+                if ch.isdigit():
+                    break
+                i = i * 26 + (ord(ch) - 64)
+            return i - 1
+
+        rows: list[list[str]] = []
+        sheet = ET.fromstring(z.read(sheet_path))
+        for row in sheet.find("m:sheetData", ns) or ():
+            values: list[str] = []
+            for c in row.findall("m:c", ns):
+                idx = col_index(c.get("r", "")) if c.get("r") else len(values)
+                while len(values) <= idx:
+                    values.append("")
+                t = c.get("t", "n")
+                if t == "inlineStr":
+                    is_el = c.find("m:is", ns)
+                    v = "".join(
+                        el.text or "" for el in (is_el.iter() if is_el is not None else ())
+                        if el.tag.endswith("}t")
+                    )
+                else:
+                    v_el = c.find("m:v", ns)
+                    raw = v_el.text if v_el is not None and v_el.text else ""
+                    if t == "s":
+                        v = shared[int(raw)] if raw else ""
+                    elif t in ("str", "e"):
+                        v = raw
+                    elif t == "b":
+                        v = "1" if raw == "1" else "0"
+                    elif raw == "":
+                        v = ""
+                    else:  # numeric
+                        num = float(raw)
+                        s_idx = int(c.get("s", "-1"))
+                        if 0 <= s_idx < len(date_style) and date_style[s_idx]:
+                            v = _xlsx_serial_to_iso(num, date1904)
+                        else:
+                            v = "%g" % num
+                values[idx] = v
+            rows.append(values)
+
+    width = max((len(r) for r in rows), default=0)
+    with open(dst, "w", newline="") as fout:
+        writer = csv.writer(fout)
+        for r in rows:
+            writer.writerow(r + [""] * (width - len(r)))
+
+
 def excel_to_csv(src: str, dst: str) -> None:
-    """S6 converter (lib_materialize/excel.py:8-31).  Requires openpyxl
-    (xlsx) / xlrd (xls) — not present in this sandbox."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise ConverterUnavailable(
-            "excel→csv needs openpyxl/xlrd (not installed); install one or "
-            "convert upstream"
-        ) from e
-    pd.read_excel(src).to_csv(dst, index=False)
+    """S6 converter (reference lib_materialize/excel.py:8-31): .xlsx is
+    read with the stdlib zip+XML reader above; legacy .xls (BIFF binary)
+    genuinely needs xlrd, which is not in this sandbox."""
+    with open(src, "rb") as f:
+        head = f.read(8)
+    if head.startswith(_XLSX_MAGIC):
+        return xlsx_to_csv(src, dst)
+    raise ConverterUnavailable(
+        "excel97(.xls)→csv needs xlrd (not installed); .xlsx converts "
+        "with the built-in stdlib reader"
+    )
 
 
 def spss_to_csv(src: str, dst: str) -> None:

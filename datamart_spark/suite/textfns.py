@@ -370,6 +370,161 @@ def fingerprint_rolling(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# --- end-to-end dedup pipeline (exact → LSH candidates → Jaccard verify) ------
+
+_J_THRESH = 0.5
+#: per-(band, minhash) bucket cap: a boilerplate-page bucket of B docs
+#: would emit B²/2 candidate pairs — buckets above the cap are dropped
+#: EXPLICITLY (mirrored in the oracle; never silent truncation).  At
+#: the cap, one bucket costs ≤ 50²/2 = 1250 pairs — bounded work per
+#: bucket regardless of corpus size.
+_BUCKET_CAP = 50
+
+
+@register(
+    "dedup_pipeline",
+    f"""
+WITH h AS (SELECT doc_id, md5(text) AS th FROM documents),
+g AS (SELECT th, min(doc_id) AS keep_id FROM h GROUP BY 1),
+exact_drops AS (SELECT h.doc_id AS dropped_id, g.keep_id, 1.0 AS score,
+                       'exact' AS reason
+                FROM h JOIN g USING (th) WHERE h.doc_id <> g.keep_id),
+reps AS (SELECT keep_id AS doc_id FROM g),
+arr AS (SELECT d.doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+        FROM documents d JOIN reps USING (doc_id)),
+sh AS (SELECT doc_id,
+              unnest(list_transform(range(len(toks) - 2),
+                                    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+       FROM arr WHERE len(toks) >= 3),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sig AS (SELECT doc_id, b.band,
+               min(('0x' || substr(md5(band::varchar || ':' || shingle), 1, 15))::bigint) AS hh
+        FROM dsh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+        GROUP BY doc_id, b.band),
+bucket AS (SELECT band, hh, count(*) AS bn FROM sig GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a
+         JOIN sig b ON a.band = b.band AND a.hh = b.hh AND a.doc_id < b.doc_id
+         JOIN bucket k ON k.band = a.band AND k.hh = a.hh
+         WHERE k.bn <= {_BUCKET_CAP}),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+common AS (SELECT c.doc_a, c.doc_b, count(*) AS cc
+           FROM cand c
+           JOIN dsh a ON a.doc_id = c.doc_a
+           JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+           GROUP BY 1, 2),
+jac AS (SELECT doc_a, doc_b, cc * 1.0 / (sa.n + sb.n - cc) AS j
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE cc * 1.0 / (sa.n + sb.n - cc) >= {_J_THRESH}),
+near_drops AS (SELECT doc_b AS dropped_id, doc_a AS keep_id,
+                      round(j, 4) AS score, 'near' AS reason,
+                      row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rk
+               FROM jac)
+SELECT dropped_id, keep_id, score, reason
+FROM (SELECT dropped_id, keep_id, score, reason FROM exact_drops
+      UNION ALL
+      SELECT dropped_id, keep_id, score, reason FROM near_drops WHERE rk = 1)
+ORDER BY dropped_id LIMIT 100
+""",
+)
+def dedup_pipeline(spark, sf_dir):
+    """The composed, scale-shaped dedup plan over the FULL corpus
+    (VERDICT r2 #5): exact hash-groupBy first, shingle-MinHash-LSH
+    banding over the survivors (with the explicit per-bucket cap),
+    n-gram Jaccard computed ONLY on LSH candidate pairs, and a
+    deterministic keep-list (drop the higher doc_id, keep its smallest
+    verified partner).  Every stage is the one you would run at 100 TB:
+    no all-pairs join ever forms — pair work is bounded by
+    Σ_buckets min(|bucket|, cap)²."""
+    docs = table(spark, sf_dir, "documents")
+
+    h = docs.select("doc_id", F.md5("text").alias("th"))
+    g = h.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
+    exact_drops = (
+        h.join(g, "th")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select(
+            F.col("doc_id").alias("dropped_id"), "keep_id",
+            F.lit(1.0).alias("score"), F.lit("exact").alias("reason"),
+        )
+    )
+
+    reps = g.select(F.col("keep_id").alias("doc_id"))
+    arr = docs.join(reps, "doc_id").select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").alias("toks"),
+    ).where(F.size("toks") >= 3)
+    dsh = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
+
+    sig = (
+        dsh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.min(
+                _h_spark(
+                    F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle"))
+                )
+            ).alias("hh")
+        )
+    )
+    bucket = sig.groupBy("band", "hh").agg(F.count(F.lit(1)).alias("bn"))
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.hh") == F.col("b.hh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(
+            bucket.where(F.col("bn") <= _BUCKET_CAP).alias("k"),
+            (F.col("k.band") == F.col("a.band")) & (F.col("k.hh") == F.col("a.hh")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(dsh.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        .join(
+            dsh.alias("db"),
+            (F.col("doc_b") == F.col("db.doc_id"))
+            & (F.col("db.shingle") == F.col("da.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    jac = (
+        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("j", F.expr("cc * 1.0d / (sa.n + sb.n - cc)"))
+        .where(F.col("j") >= _J_THRESH)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_b").orderBy("doc_a")
+    near_drops = (
+        jac.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("doc_b").alias("dropped_id"), F.col("doc_a").alias("keep_id"),
+            F.round("j", 4).alias("score"), F.lit("near").alias("reason"),
+        )
+    )
+    return (
+        exact_drops.unionByName(near_drops).orderBy("dropped_id").limit(100)
+    )
+
+
 # --- Lazo sketch containment (J8/A11/R5) --------------------------------------
 
 _LAZO_K = 16

@@ -236,3 +236,66 @@ def test_augmentation_search_excludes_d3mindex(spark):
         assert r.get("input_column") != "d3mIndex"
         if r["type"] == "union":
             assert all("d3mIndex" not in pair[:2] for pair in r["matched_pairs"])
+
+
+# --- persistent dataset registry (registry-scale J8) ---------------------------
+
+
+def _norm_results(rs):
+    return sorted(
+        (r["type"], r["dataset"], r.get("input_column"), r.get("column"),
+         round(r["score"], 9))
+        for r in rs
+    )
+
+
+def test_registry_search_matches_inline(spark, aug_universe, tmp_path):
+    """The persisted sketch-table path must produce exactly the inline
+    augmentation_search results (VERDICT r2 #3)."""
+    from datamart_spark.operators.discovery import augmentation_search
+    from datamart_spark.operators.registry import DatasetRegistry
+
+    inp, candidates = aug_universe
+    reg = DatasetRegistry(str(tmp_path / "reg"))
+    for n, df in candidates.items():
+        assert reg.register(n, df) > 0
+
+    assert _norm_results(reg.search(inp, k=50)) == _norm_results(
+        augmentation_search(inp, candidates, k=50)
+    )
+    # R4 keyword boost parity
+    assert _norm_results(reg.search(inp, keywords="trade", k=50)) == _norm_results(
+        augmentation_search(inp, candidates, keywords="trade", k=50)
+    )
+    # re-registering replaces (delete-then-reinsert): same results
+    reg.register("trade prices", candidates["trade prices"])
+    assert _norm_results(reg.search(inp, k=50)) == _norm_results(
+        augmentation_search(inp, candidates, k=50)
+    )
+
+
+def test_registry_job_count_independent_of_registry_size(spark, aug_universe, tmp_path):
+    """Searching a 6-dataset registry must launch exactly as many Spark
+    jobs as searching a 1-dataset registry — discovery reads the sketch
+    TABLE; it never runs per-candidate jobs (ref search/join.py:334-425
+    queries the persistent Lazo store once)."""
+    from datamart_spark.operators.registry import DatasetRegistry
+
+    inp, candidates = aug_universe
+    reg = DatasetRegistry(str(tmp_path / "reg_jobs"))
+    reg.register("d0", candidates["trade prices"])
+    sc = spark.sparkContext
+
+    def jobs(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    n_small = jobs("reg_small", lambda: reg.search(inp, k=50))
+    for i in range(1, 6):
+        reg.register(f"d{i}", candidates["trade prices"])
+    n_big = jobs("reg_big", lambda: reg.search(inp, k=50))
+    assert n_small == n_big, (n_small, n_big)

@@ -72,10 +72,101 @@ def test_read_auto_delimited(spark, files):
 
 
 def test_unavailable_converters_raise_cleanly(files, tmp_path):
-    with pytest.raises(ConverterUnavailable, match="openpyxl"):
-        CONVERTERS["excel"](str(files["excel"]), str(tmp_path / "x.csv"))
+    xls_p = tmp_path / "legacy.xls"
+    xls_p.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
+    with pytest.raises(ConverterUnavailable, match="xlrd"):
+        CONVERTERS["excel97"](str(xls_p), str(tmp_path / "x.csv"))
     with pytest.raises(ConverterUnavailable, match="pyreadstat"):
         CONVERTERS["spss"](str(files["spss"]), str(tmp_path / "y.csv"))
+
+
+def _write_min_xlsx(path, date1904=False):
+    """Hand-built minimal xlsx (no Excel writer lib in the sandbox):
+    header via sharedStrings, one data row exercising shared string,
+    builtin-date style, custom-date style, float, int, bool, inline
+    string and a column gap."""
+    import zipfile
+
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <workbookPr{d1904}/><sheets><sheet name="s1" sheetId="1" r:id="rId1"/></sheets>
+</workbook>""".format(d1904=' date1904="1"' if date1904 else "")
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1"
+  Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet"
+  Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+    styles = """<?xml version="1.0"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd"/></numFmts>
+ <cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/></cellXfs>
+</styleSheet>"""
+    sst = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+ <si><t>name</t></si><si><t>when</t></si><si><t>score</t></si><si><t>al</t><t>ice</t></si>
+</sst>"""
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+  <row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2" s="1"><v>44197</v></c><c r="C2"><v>2.5</v></c><c r="D2"><v>42</v></c></row>
+  <row r="3"><c r="A3" t="inlineStr"><is><t>bob</t></is></c><c r="B3" s="2"><v>44198.5</v></c><c r="D3" t="b"><v>1</v></c></row>
+ </sheetData>
+</worksheet>"""
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_xlsx_to_csv_stdlib(tmp_path):
+    """S6 real converter: reference parity (lib_materialize/excel.py:
+    8-31) — single sheet, ISO-8601 dates, '%g' numbers."""
+    src = tmp_path / "m.xlsx"
+    _write_min_xlsx(str(src))
+    assert detect_format(str(src)) == "excel"
+    dst = tmp_path / "m.csv"
+    CONVERTERS["excel"](str(src), str(dst))
+    rows = list(csv.reader(open(dst)))
+    assert rows == [
+        ["name", "when", "score", ""],
+        ["alice", "2021-01-01T00:00:00", "2.5", "42"],
+        ["bob", "2021-01-02T12:00:00", "", "1"],
+    ]
+
+
+def test_xlsx_multi_sheet_rejected(tmp_path):
+    import zipfile
+
+    src = tmp_path / "two.xlsx"
+    _write_min_xlsx(str(src))
+    # append a second sheet entry to the workbook
+    import re as _re
+    with zipfile.ZipFile(src) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    parts["xl/workbook.xml"] = _re.sub(
+        rb"</sheets>",
+        b'<sheet name="s2" sheetId="2" r:id="rId2"/></sheets>',
+        parts["xl/workbook.xml"],
+    )
+    with zipfile.ZipFile(src, "w") as z:
+        for n, data in parts.items():
+            z.writestr(n, data)
+    with pytest.raises(ValueError, match="2 sheets"):
+        CONVERTERS["excel"](str(src), str(tmp_path / "t.csv"))
+
+
+def test_xlsx_read_auto_roundtrip(spark, tmp_path):
+    src = tmp_path / "r.xlsx"
+    _write_min_xlsx(str(src))
+    df = read_auto(spark, str(src))
+    got = {r["name"]: r["score"] for r in df.collect()}
+    assert got == {"alice": "2.5", "bob": None}
 
 
 def test_looks_pivoted():
