@@ -10,18 +10,26 @@ url; no library-version drift):
 - ``extract_text``  — html_strip analog: drops <script>/<style>/
   comments, strips tags, decodes HTML entities.  Pure function of the
   bytes.
-- ``tokenize``      — unicode word regex ``\\w+`` (documented deviation
-  from UAX#29: underscore joins, "3.14" splits — rank-identity is
-  defined against THIS analyzer, see SURVEY.md §4 "tokenizer fidelity").
+- ``tokenize``      — two profiles: ``uax29`` (Lucene `standard`
+  fidelity, uax29.py, vector-pinned — the DEFAULT for the full
+  stemming analyzer) and ``simple`` (unicode word regex ``\\w+`` —
+  the DuckDB-mirrorable oracle profile; underscore joins, "3.14"
+  splits).
 - ``lowercase`` + ``porter2.stem``.
 
 Two profiles:
-- ``ANALYZER_FULL``   (html_strip+stem)  — the engine's index analyzer.
-- ``ANALYZER_SIMPLE`` (lowercase+split, no stem) — shared with the
+- full (html_strip + uax29 + stem) — the engine's index analyzer;
+  rank-identity (kernel vs DataFrame vs python oracle) is asserted
+  under it in pytest.
+- simple (lowercase + ``\\w+`` split, no stem) — shared with the
   DuckDB oracle, which cannot stem; used by the oracle-gated queries in
   ``__spark_entry__.py``.  Matches the reference's own only in-process
   term-frequency computation (lib_profiler core.py:54,445-451:
   ``split(lower(text), '\\W+')``).
+
+``resolve_tokenizer(None, stemming)`` implements the default pairing;
+both halves of every comparison must pass the same profile explicitly
+to diverge from it.
 
 All Spark entry points are Arrow-batched pandas UDFs / builtin
 expressions — no per-row Python UDFs (north rule §2.10).
@@ -45,6 +53,15 @@ _RE_COMMENT = re.compile(r"(?s)<!--.*?-->")
 _RE_TAG = re.compile(r"(?s)<[^>]*>")
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def resolve_tokenizer(tokenizer: str | None, stemming: bool) -> str:
+    """Default pairing: the full (stemming) analyzer tokenizes with
+    Lucene-fidelity ``uax29``; the oracle-facing non-stemming profile
+    stays ``simple`` (the DuckDB oracle mirrors ``\\w+``)."""
+    if tokenizer is not None:
+        return tokenizer
+    return "uax29" if stemming else "simple"
 
 
 def extract_text_str(html_text: str) -> str:
@@ -96,11 +113,18 @@ def analyze_series(
     per batch (vocabulary ≪ token count, so hit-rate ≈ 100%).
     """
     if tokenizer == "uax29":
-        from .uax29 import tokenize_uax29
+        from .uax29 import _NEEDS_SLOW, tokenize_uax29
 
-        toks = texts.str.lower().map(
-            lambda t: tokenize_uax29(t) if t is not None else None
-        )
+        # vectorized fast path: documents without CJK/Extend/Format/
+        # mid-joiner-between-word-chars segment identically under \w+
+        # (uax29.py docstring) — detect with one C-speed contains scan
+        # and run the full grammar only on the rows that need it
+        low = texts.str.lower()
+        toks = low.str.findall(_TOKEN_RE)
+        slow = low.str.contains(_NEEDS_SLOW, regex=True, na=False)
+        if slow.any():
+            toks = toks.copy()
+            toks[slow] = low[slow].map(tokenize_uax29)
     else:
         toks = texts.str.lower().str.findall(_TOKEN_RE)
     if not stemming:

@@ -293,7 +293,7 @@ def build_index(
     n_docs: int | None = None,
     only_shards: list[int] | None = None,
     title_boost: int | None = None,
-    tokenizer: str = "simple",
+    tokenizer: str | None = None,
 ) -> dict:
     """Full or incremental build.  Returns the committed snapshot.
 
@@ -337,6 +337,16 @@ def build_index(
         # partition directories (catalog.recover docstring)
         catalog.recover()
     snap = catalog.current_snapshot() if resume else None
+    if tokenizer is None:
+        # default profile: uax29 under stemming, simple otherwise
+        # (analyzer.resolve_tokenizer) — but a RESUMED build inherits
+        # the snapshot's committed tokenizer, whatever it is
+        from ..analyzer import resolve_tokenizer
+
+        tokenizer = (
+            snap.get("tokenizer", "simple") if snap
+            else resolve_tokenizer(None, stemming)
+        )
     if snap:
         if (
             bool(snap.get("stemming", True)) != bool(stemming)

@@ -18,7 +18,7 @@ from collections import Counter
 
 import pandas as pd
 
-from ..analyzer import analyze_query, analyze_str
+from ..analyzer import analyze_query, analyze_str, resolve_tokenizer
 from ..porter2 import StemCache
 
 K1 = 1.2
@@ -31,13 +31,16 @@ class Bm25Oracle:
         docs: pd.DataFrame,
         stemming: bool = True,
         title_boost: int | None = None,
+        tokenizer: str | None = None,
     ):
         """docs: DataFrame with doc_id, text (+ optional lang, warc_ts).
 
         ``title_boost``: BM25F weighted-field-concatenation semantics,
         identical to index/build.py — the first text line is the title;
-        tf' = tf_body + boost·tf_title, doclen' likewise."""
+        tf' = tf_body + boost·tf_title, doclen' likewise.  ``tokenizer``
+        defaults exactly as build_index does (resolve_tokenizer)."""
         self.stemming = stemming
+        self.tokenizer = resolve_tokenizer(tokenizer, stemming)
         cache = StemCache() if stemming else None
         self.meta = docs.set_index("doc_id")
         self.tf: dict[int, Counter] = {}
@@ -45,13 +48,13 @@ class Bm25Oracle:
         self.doclen: dict[int, int] = {}
         for doc_id, text in zip(docs["doc_id"], docs["text"]):
             if title_boost is None:
-                toks = analyze_str(text, cache)
+                toks = analyze_str(text, cache, tokenizer=self.tokenizer)
                 c = Counter(toks)
                 dl = len(toks)
             else:
                 parts = (text or "").split("\n", 1)
-                t_toks = analyze_str(parts[0], cache)
-                b_toks = analyze_str(parts[1] if len(parts) > 1 else "", cache)
+                t_toks = analyze_str(parts[0], cache, tokenizer=self.tokenizer)
+                b_toks = analyze_str(parts[1] if len(parts) > 1 else "", cache, tokenizer=self.tokenizer)
                 c = Counter()
                 for t in t_toks:
                     c[t] += title_boost
@@ -98,7 +101,7 @@ class Bm25Oracle:
         ts_hi=None,
         or_mode: bool = False,
     ) -> list[tuple[int, float]]:
-        terms = analyze_query(query, stemming=self.stemming)
+        terms = analyze_query(query, stemming=self.stemming, tokenizer=self.tokenizer)
         if or_mode:
             terms = [t for t in terms if self.df.get(t, 0) > 0]
         if not terms:

@@ -3,11 +3,10 @@
 The reference's analyzer chain is `html_strip → standard → lowercase →
 english stemmer` (coordinator/coordinator/elasticsearch.yml:2-20); the
 `standard` tokenizer is Lucene's UAX#29 word-boundary implementation.
-The engine's default tokenizer is `\\w+` (analyzer.py — documented
-deviation, chosen because the DuckDB oracle must mirror it); THIS
-module is the `standard`-fidelity tokenizer, selectable with
-``build_index(...)`` / queries via ``analyzer profile "uax29"`` and
-pinned against Lucene-behavior vectors in tests/test_uax29.py.
+THIS module is the `standard`-fidelity tokenizer — the default for the
+engine's full (stemming) analyzer; the `\\w+` "simple" profile remains
+the oracle-facing analyzer (the DuckDB oracle must mirror it).  Pinned
+against Lucene-behavior vectors in tests/test_uax29.py.
 
 Rules implemented (UAX#29 word-boundary, as Lucene StandardTokenizer
 applies them):
@@ -20,42 +19,93 @@ applies them):
 - a separator between a letter and a digit never joins ("a.1" splits);
 - Han and Hiragana are emitted as SINGLE-character tokens; Katakana as
   runs — exactly Lucene's StandardTokenizer grammar;
+- WB4 Extend/Format: combining marks (Mn/Mc/Me) and format chars (Cf —
+  ZWJ, ZWNJ, soft hyphen, ...) are transparent for boundary decisions
+  and stay inside the token text ("cafe" + combining acute is ONE
+  token; a ZWNJ inside a Persian word does not split it; a lone
+  Extend/Format run with no word char emits nothing).
 - everything else is a boundary.
 
+Performance: a document whose text has no CJK, no Extend/Format char
+and no mid-joiner BETWEEN two word chars segments identically under
+plain ``\\w+`` — one C-speed lookaround scan detects that and takes the
+findall fast path, so ASCII-ish web text pays ~no premium over the
+simple profile (the full grammar runs only on documents that need it).
+
 Quarantined deviations (not implemented, listed so the gap is
-explicit): Extend/Format characters inside words (ZWJ, combining marks
-count as word chars via `\\w` instead of the Extend rule), regional
-indicators (emoji flags), and Hebrew double-quote gershayim.  None of
-these occur in the synthetic corpus; on real web text they affect a
-vanishingly small token fraction.
+explicit): regional indicators (emoji flags) and Hebrew double-quote
+gershayim.  Neither occurs in the synthetic corpus; on real web text
+they affect a vanishingly small token fraction.
 """
 
 from __future__ import annotations
 
 import re
+import unicodedata
 
 _HAN = "㐀-䶿一-鿿豈-﫿"
 _HIRA = "ぁ-ゟ"
 _KATA = "゠-ヿㇰ-ㇿ"
 
-# word char = \w minus underscore-is-fine, minus CJK classes handled apart
-_WC = rf"(?:(?![{_HAN}{_HIRA}{_KATA}])\w)"
+
+def _ext_class() -> str:
+    """Regex character class of WB4-transparent chars: Extend (Mn/Mc/Me)
+    ∪ Format (Cf, which includes ZWJ U+200D and ZWNJ U+200C).  Built
+    from a one-time BMP scan (~26 ms at import; supplementary-plane
+    extend chars — emoji modifiers — are out of scope together with the
+    regional indicators noted above)."""
+    parts: list[str] = []
+    start = None
+    for cp in range(0x10000):
+        if unicodedata.category(chr(cp)) in ("Mn", "Mc", "Me", "Cf"):
+            if start is None:
+                start = cp
+        elif start is not None:
+            parts.append(
+                re.escape(chr(start)) if start == cp - 1
+                else re.escape(chr(start)) + "-" + re.escape(chr(cp - 1))
+            )
+            start = None
+    if start is not None:
+        parts.append(re.escape(chr(start)) + "-" + re.escape(chr(0xFFFF)))
+    return "".join(parts)
+
+
+_EXT = _ext_class()
+
+# word char = \w minus CJK classes handled apart, minus Extend/Format
+# (underscore stays: ExtendNumLet joins, WB13)
+_WC = rf"(?:(?![{_HAN}{_HIRA}{_KATA}{_EXT}])\w)"
 _MIDS = ".,:;'’·"
+_WCE = rf"{_WC}(?:{_WC}|[{_EXT}])*"  # word-char run absorbing Extend/Format
 _COARSE = re.compile(
-    rf"[{_KATA}]+"            # katakana run
-    rf"|[{_HAN}]"             # han unigram
-    rf"|[{_HIRA}]"            # hiragana unigram
-    rf"|{_WC}+(?:[{_MIDS}]{_WC}+)*"  # word with candidate mid-joiners
+    rf"[{_KATA}](?:[{_KATA}]|[{_EXT}])*"      # katakana run
+    rf"|[{_HAN}][{_EXT}]*"                    # han unigram
+    rf"|[{_HIRA}][{_EXT}]*"                   # hiragana unigram
+    rf"|{_WCE}(?:[{_MIDS}][{_EXT}]*{_WCE})*"  # word with candidate mid-joiners
 )
 
-_LETTER_MIDS = set(":·.'’")   # MidLetter ∪ MidNumLet ∪ Single_Quote
-_DIGIT_MIDS = set(",;.'’")         # MidNum ∪ MidNumLet ∪ Single_Quote
+# a document needs the full grammar only if it has CJK, Extend/Format,
+# or a mid-joiner candidate BETWEEN two word chars — C-speed test
+_NEEDS_SLOW = re.compile(
+    rf"[{_HAN}{_HIRA}{_KATA}{_EXT}]|(?<=\w)[{_MIDS}](?=\w)"
+)
+_SIMPLE_RE = re.compile(r"\w+", re.UNICODE)
+
+_LETTER_MIDS = set(":·.'’")  # MidLetter ∪ MidNumLet ∪ Single_Quote
+_DIGIT_MIDS = set(",;.'’")        # MidNum ∪ MidNumLet ∪ Single_Quote
 _MID_SET = set(_MIDS)
+_EXT_RE = re.compile(rf"[{_EXT}]")
+
+
+def _is_ext(ch: str) -> bool:
+    return _EXT_RE.match(ch) is not None
 
 
 def _split_invalid_mids(token: str) -> list[str]:
     """Validate every mid-joiner: keep it only between two letters (with
-    a letter-mid) or two digits (with a digit-mid); split otherwise."""
+    a letter-mid) or two digits (with a digit-mid) — looking THROUGH
+    Extend/Format chars on both sides (WB4) — split otherwise."""
     out: list[str] = []
     cur: list[str] = []
     i = 0
@@ -63,8 +113,14 @@ def _split_invalid_mids(token: str) -> list[str]:
     while i < n:
         ch = token[i]
         if ch in _MID_SET:
-            prev = token[i - 1]
-            nxt = token[i + 1]  # coarse regex guarantees word chars around
+            j = i - 1
+            while j > 0 and _is_ext(token[j]):
+                j -= 1
+            prev = token[j]
+            j = i + 1
+            while j < n - 1 and _is_ext(token[j]):
+                j += 1
+            nxt = token[j]  # coarse regex guarantees a word char follows
             ok = (
                 (prev.isalpha() and nxt.isalpha() and ch in _LETTER_MIDS)
                 or (prev.isdigit() and nxt.isdigit() and ch in _DIGIT_MIDS)
@@ -86,6 +142,8 @@ def tokenize_uax29(text: str) -> list[str]:
     """UAX#29 word segmentation of one string (no case folding)."""
     if not text:
         return []
+    if _NEEDS_SLOW.search(text) is None:
+        return _SIMPLE_RE.findall(text)  # provably identical segmentation
     toks: list[str] = []
     for m in _COARSE.findall(text):
         if any(c in _MID_SET for c in m):

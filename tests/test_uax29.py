@@ -67,3 +67,56 @@ def test_divergence_from_default_analyzer_documented():
     # "can't" : standard joins, \w+ splits
     assert tokenize_uax29("can't") == ["can't"]
     assert analyze_str("can't") == ["can", "t"]
+
+
+EXTEND_VECTORS = [
+    # WB4: combining marks are transparent and stay in the token
+    ("café latte", ["café", "latte"]),
+    # format chars (Cf): soft hyphen / ZWNJ / ZWJ never split a word
+    ("exam­ple", ["exam­ple"]),
+    ("ni‌m", ["ni‌m"]),
+    ("ab‍cd", ["ab‍cd"]),
+    # mid-joiner validation looks THROUGH extend chars on both sides
+    ("á.b", ["á.b"]),
+    ("3́.1", ["3́.1"]),
+    ("á.1", ["á", "1"]),  # letter.digit still splits
+    # leading extend attaches to the preceding boundary → dropped
+    ("́abc", ["abc"]),
+    # a lone extend/format run emits no token
+    ("́‍", []),
+    # CJK unigrams absorb trailing marks
+    ("例え́ば", ["例", "え́", "ば"]),
+]
+
+
+@pytest.mark.parametrize("text,want", EXTEND_VECTORS)
+def test_uax29_extend_format(text, want):
+    assert tokenize_uax29(text) == want
+
+
+def test_uax29_is_default_for_full_analyzer(spark, tmp_path):
+    """The full (stemming) analyzer now defaults to the uax29 profile:
+    an index built with defaults records tokenizer=uax29 in its
+    snapshot, queries analyze with it, and rank identity holds against
+    the python oracle under the same profile (VERDICT r2 #7)."""
+    from datamart_spark.corpus import generate_documents, generate_documents_pandas
+    from datamart_spark.index import IndexCatalog, build_index
+    from datamart_spark.query import bm25_topk_blockmax
+    from datamart_spark.query.bm25_oracle import Bm25Oracle
+
+    cat = IndexCatalog(str(tmp_path / "uaxdef"))
+    m = build_index(generate_documents(spark, 250), cat, resume=False)
+    assert m["tokenizer"] == "uax29"
+    oracle = Bm25Oracle(
+        generate_documents_pandas(250)[["doc_id", "text", "lang", "warc_ts"]]
+    )
+    assert oracle.tokenizer == "uax29"
+    from datamart_spark.corpus import _VOCAB
+    q = f"{_VOCAB[40]} {_VOCAB[300]}"
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in bm25_topk_blockmax(spark, cat, q, k=10).collect()]
+    want = [(d, round(s, 9)) for d, s in oracle.topk(q, k=10)]
+    assert got == want and len(got) > 0
+    # resuming the same catalog with default args inherits the profile
+    m2 = build_index(generate_documents(spark, 250), cat)
+    assert m2["tokenizer"] == "uax29"
