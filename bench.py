@@ -71,11 +71,16 @@ HEADLINE = [
     "term_stats_top",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "dedup_pipeline",
     "groupby_flag_status",
     "join_left_agg",
     "cosine_topk",
     "window_top3_per_priority",
 ]
+
+# robustness: one much-larger single-node build (north rule: evidence
+# the build survives a scale step, not just the bench size)
+ROBUST_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_ROBUST_DOCS", "500000"))
 
 
 def _session(cpus: int, name: str):
@@ -88,8 +93,8 @@ def _session(cpus: int, name: str):
     )
 
 
-def materialize_corpus() -> None:
-    if os.path.isdir(CORPUS_DIR) and os.path.exists(f"{CORPUS_DIR}/_SUCCESS"):
+def materialize_corpus(n_docs: int = N_DOCS, corpus_dir: str = CORPUS_DIR) -> None:
+    if os.path.isdir(corpus_dir) and os.path.exists(f"{corpus_dir}/_SUCCESS"):
         return
     from datamart_spark.corpus import generate_documents
 
@@ -97,11 +102,38 @@ def materialize_corpus() -> None:
     # ~4k docs per file: synthetic parquet files are single-row-group
     # (unsplittable below file granularity), so file count IS the map
     # parallelism ceiling — at real scale file count dwarfs cores
-    parts = max(CPUS, N_DOCS // 4000)
-    generate_documents(spark, N_DOCS, partitions=parts).write.mode(
+    parts = max(CPUS, n_docs // 4000)
+    generate_documents(spark, n_docs, partitions=parts).write.mode(
         "overwrite"
-    ).parquet(CORPUS_DIR)
+    ).parquet(corpus_dir)
     spark.stop()
+
+
+def robustness_build() -> dict:
+    """One timed build at ROBUST_DOCS (2.5× the bench size) on the peak
+    level: catches footguns that only appear past the tuning point
+    (Arrow offset overflow, block fragmentation, shuffle spill)."""
+    corpus = f"/tmp/bench_corpus_{ROBUST_DOCS}"
+    materialize_corpus(ROBUST_DOCS, corpus)
+    from datamart_spark.index import IndexCatalog, build_index
+
+    spark = _session(PEAK_CPUS, "bench_robust")
+    docs = spark.read.parquet(corpus)
+    root = f"{WORK_DIR}_robust"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = IndexCatalog(root)
+    t0 = time.time()
+    m = build_index(docs, cat, resume=False, n_docs=ROBUST_DOCS)
+    elapsed = time.time() - t0
+    spark.stop()
+    return {
+        "n_docs": ROBUST_DOCS,
+        "build_sec": round(elapsed, 3),
+        "docs_per_sec": round(ROBUST_DOCS / elapsed, 1),
+        "total_postings": sum(v["postings"] for v in m["shards"].values()),
+        "total_blocks": sum(v["blocks"] for v in m["shards"].values()),
+        "n_shards": m["n_shards"],
+    }
 
 
 def timed_build(cpus: int) -> tuple[float, dict]:
@@ -158,6 +190,15 @@ def run_headline(sf_dir: str) -> dict[str, float]:
     from datamart_spark.suite import REGISTRY
 
     spark = _session(CPUS, "bench_suite")
+    # bootstrap the suite's one-time per-sf artifacts OUTSIDE any single
+    # query's timing (they are build-time costs, amortized over every
+    # subsequent ad-hoc query): the materialized tokenized corpus for
+    # the index-free path and the posting catalog for the indexed path.
+    # Both are counted in the top-level `value` (total wall) regardless.
+    from datamart_spark.suite.fulltext import _direct_tables, _suite_catalog
+
+    _direct_tables(spark, sf_dir)
+    _suite_catalog(spark, sf_dir)
     out = {}
     for name in HEADLINE:
         if name not in REGISTRY:
@@ -212,6 +253,14 @@ local[{s['peak_cpus']}] = {s['docs_per_sec_peak']:.0f} docs/sec.
 
 p50 = {result['bm25_p50_sec']:.3f} s/query (block-max DAAT kernel path).
 
+## Robustness ({result['robustness']['n_docs']} docs, single build @ local[{PEAK_CPUS}])
+
+{result['robustness']['docs_per_sec']:.0f} docs/sec,
+{result['robustness']['total_postings']} postings,
+{result['robustness']['total_blocks']} blocks,
+{result['robustness']['n_shards']} shards in
+{result['robustness']['build_sec']:.1f} s.
+
 ## Headline suite queries @ {result['sf']}
 
 | query | sec |
@@ -255,6 +304,7 @@ def main() -> None:
     # box can run at all (local[16] ⇒ ~32 runnable threads)
     t_peak, _ = timed_build(PEAK_CPUS)
     p50 = query_p50(P50_CPUS)
+    robust = robustness_build()
     queries = run_headline(SF_DIR)
 
     eff = (t_low / t_high) / (HIGH_CPUS / LOW_CPUS)
@@ -288,6 +338,7 @@ def main() -> None:
             "efficiency": round(eff, 3),
         },
         "bm25_p50_sec": round(p50, 4),
+        "robustness": robust,
     }
     write_baseline_md(result)
     print(json.dumps(result))
