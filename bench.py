@@ -60,7 +60,7 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 # range; a real cluster serves queries on all executors)
 P50_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_P50_CPUS", "16"))
 PEAK_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_PEAK_CPUS", "16"))
-MAX_EXTRA_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PAIRS", "1"))
+MAX_EXTRA_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PAIRS", "2"))
 CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", f"/tmp/bench_corpus_{N_DOCS}")
 WORK_DIR = "/tmp/bench_index"
 
