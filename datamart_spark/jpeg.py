@@ -1,0 +1,384 @@
+"""Pure-Python baseline JPEG (ITU T.81) grayscale codec.
+
+The sandbox has no image codec libraries; PNG is already decoded
+in-repo (png.py).  This module closes the JPEG half of the multimodal
+stub boundary for the common sequential-baseline grayscale case, making
+``multimodal.extract_image_features`` a REAL operator for such payloads
+(reference scope: the engine's multimodal columns carry crawled image
+bytes; the reference itself never decodes pixels — this exceeds it).
+
+Decoder (`decode_jpeg_gray`): baseline sequential DCT (SOF0), 8-bit,
+single component, single scan, no restart markers.  Everything else —
+progressive (SOF2), multi-component color, arithmetic coding, DRI —
+raises ``JpegError`` with the exact reason: the codec boundary stays
+explicit, it just moved.
+
+Encoder (`encode_jpeg_gray`): same subset, standard Annex K luminance
+quantization + Huffman tables (overridable) — used by tests and the
+synthetic multimodal corpus; an all-ones quantization table roundtrips
+within ±1 grey level (DCT rounding; asserted in tests/test_jpeg.py).
+
+Deterministic pure functions of the bytes (per-row invariance like
+extract_text).  numpy does the 8×8 DCT as two matrix products.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegError(ValueError):
+    pass
+
+
+#: ITU T.81 Annex K.1 — standard luminance quantization table
+STD_LUMA_Q = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+
+#: Annex K.3 — luminance DC Huffman spec (BITS per code length 1..16 + values)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+#: Annex K.3 — luminance AC Huffman spec
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# orthonormal 8-point DCT-II basis; IDCT = C.T @ B @ C, FDCT = C @ b @ C.T
+_C = np.array([
+    [np.cos(np.pi * (2 * n + 1) * k / 16.0)
+     * (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+     for n in range(8)]
+    for k in range(8)
+])
+
+# progressive/extended/lossless/arithmetic SOF markers → explicit error
+_UNSUPPORTED_SOF = frozenset(
+    [0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def _build_huff(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman spec → {(length, code): value}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            i += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first entropy-data reader with 0xFF00 byte-unstuffing; a real
+    marker ends the data (trailing reads pad with zeros, per T.81 the
+    final EOB never needs them)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.bitbuf <<= 8
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed 0xFF data byte
+                else:  # marker — stop consuming, pad with zeros
+                    self.pos = len(self.data)
+                    self.bitbuf <<= 8
+                    self.nbits += 8
+                    continue
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def get(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+
+    def decode_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.get(1)
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise JpegError("invalid Huffman code in entropy data")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12 EXTEND: low-order magnitude bits → signed value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Baseline grayscale JPEG bytes → (height, width, 1) uint8."""
+    if not payload or payload[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    h = w = qsel = dc_sel = ac_sel = scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise JpegError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        data = payload[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables in one segment)
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                if pq != 0:
+                    raise JpegError("16-bit quantization tables unsupported")
+                qtables[tq] = np.frombuffer(
+                    data[i + 1:i + 65], dtype=np.uint8
+                ).astype(np.int32)
+                i += 65
+        elif marker in _UNSUPPORTED_SOF:
+            raise JpegError(
+                f"only baseline sequential (SOF0) supported, got SOF marker "
+                f"0x{marker:02x}"
+            )
+        elif marker == 0xC0:  # SOF0
+            if data[0] != 8:
+                raise JpegError("8-bit sample precision only")
+            h = struct.unpack(">H", data[1:3])[0]
+            w = struct.unpack(">H", data[3:5])[0]
+            if data[5] != 1:
+                raise JpegError("grayscale (1 component) only")
+            if data[7] != 0x11:
+                raise JpegError("1x1 sampling expected for grayscale")
+            qsel = data[8]
+        elif marker == 0xC4:  # DHT (possibly several tables in one segment)
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = list(data[i + 1:i + 17])
+                n = sum(bits)
+                htables[(tc, th)] = _build_huff(bits, list(data[i + 17:i + 17 + n]))
+                i += 17 + n
+        elif marker == 0xDD:
+            raise JpegError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if data[0] != 1:
+                raise JpegError("single-scan grayscale only")
+            dc_sel, ac_sel = data[2] >> 4, data[2] & 15
+            scan_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if h is None or scan_start is None:
+        raise JpegError("missing SOF0 or SOS")
+    dc_t = htables.get((0, dc_sel))
+    ac_t = htables.get((1, ac_sel))
+    q = qtables.get(qsel)
+    if dc_t is None or ac_t is None or q is None:
+        raise JpegError("missing Huffman or quantization table")
+
+    br = _BitReader(payload[scan_start:])
+    bx, by = -(-w // 8), -(-h // 8)
+    out = np.zeros((by * 8, bx * 8), dtype=np.uint8)
+    pred = 0
+    block = np.zeros(64)
+    for byi in range(by):
+        for bxi in range(bx):
+            coef = np.zeros(64, dtype=np.int64)
+            t = br.decode_huff(dc_t)
+            pred += _extend(br.get(t), t)
+            coef[0] = pred
+            k = 1
+            while k < 64:  # T.81 F.13 AC decode: (run, size) pairs
+                rs = br.decode_huff(ac_t)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise JpegError("AC coefficient index overflow")
+                coef[k] = _extend(br.get(s), s)
+                k += 1
+            block[:] = 0.0
+            block[_ZIGZAG] = (coef * q).astype(np.float64)
+            pix = _C.T @ block.reshape(8, 8) @ _C + 128.0
+            out[byi * 8:(byi + 1) * 8, bxi * 8:(bxi + 1) * 8] = np.clip(
+                np.round(pix), 0, 255
+            ).astype(np.uint8)
+    return out[:h, :w, None]
+
+
+# --- encoder (test fixtures / synthetic corpora) ------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-padding per T.81 F.1.2.3
+
+
+def _inv_huff(bits: list[int], vals: list[int]) -> dict:
+    enc: dict[int, tuple[int, int]] = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[i]] = (code, length)
+            i += 1
+            code += 1
+        code <<= 1
+    return enc
+
+
+def _size_cat(v: int) -> int:
+    mag = abs(v)
+    s = 0
+    while mag:
+        mag >>= 1
+        s += 1
+    return s
+
+
+def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+    """(h, w[, 1]) uint8 → baseline grayscale JPEG bytes (Annex K
+    tables; pass ``qtable=np.ones((8, 8))`` for a near-lossless (±1) roundtrip)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 3:
+        img = img[:, :, 0]
+    h, w = img.shape
+    q = STD_LUMA_Q if qtable is None else np.asarray(qtable, dtype=np.int32)
+    qz = q.reshape(64)[_ZIGZAG]  # DQT payload is in zigzag order
+
+    dc_enc = _inv_huff(DC_BITS, DC_VALS)
+    ac_enc = _inv_huff(AC_BITS, AC_VALS)
+
+    by, bx = -(-h // 8), -(-w // 8)
+    pad = np.pad(img, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge").astype(np.float64)
+
+    bw = _BitWriter()
+    pred = 0
+    for byi in range(by):
+        for bxi in range(bx):
+            blk = pad[byi * 8:(byi + 1) * 8, bxi * 8:(bxi + 1) * 8] - 128.0
+            qc = np.round((_C @ blk @ _C.T) / q).astype(np.int64)
+            zz = qc.reshape(64)[_ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s = _size_cat(diff)
+            code, length = dc_enc[s]
+            bw.put(code, length)
+            if s:
+                bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            nz = np.nonzero(zz[1:])[0]
+            last_nz = int(nz[-1]) + 1 if nz.size else 0
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*ac_enc[0xF0])  # ZRL
+                    run -= 16
+                s = _size_cat(v)
+                bw.put(*ac_enc[(run << 4) | s])
+                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                bw.put(*ac_enc[0x00])  # EOB
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0x00]) + bytes(int(x) & 0xFF for x in qz))
+    seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out.extend(bw.buf)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def jpeg_feature_extractor(dim: int = 16):
+    """Real pixel-level extractor for baseline grayscale JPEG payloads:
+    normalized luminance histogram over ``dim`` bins — drop-in for
+    ``multimodal.extract_image_features(extractor=...)``, mirroring
+    ``png.png_feature_extractor``."""
+
+    def fn(payload: bytes) -> np.ndarray:
+        img = decode_jpeg_gray(payload).astype(np.float64)
+        luma = img[:, :, 0]
+        hist, _ = np.histogram(luma, bins=dim, range=(0, 256))
+        return (hist / luma.size).astype(np.float32)
+
+    return fn

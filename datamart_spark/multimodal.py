@@ -9,10 +9,11 @@ tested even where the actual codec is not available in this container.
 The codec boundary is explicit: ``decode_image_meta`` parses real PNG /
 JPEG / GIF headers (pure-Python, deterministic — enough for sizing and
 filtering pipelines); ``extract_image_features`` needs a pixel decoder.
-For PNG the decoder is REAL and in-repo (``png.decode_png`` +
-``png.png_feature_extractor`` — stdlib zlib + numpy unfiltering, no
-codec library); JPEG/video remain a documented stub: pass ``extractor``
-or get ``NotImplementedError`` at plan-build time.
+Two are REAL and in-repo: PNG (``png.decode_png`` — stdlib zlib + numpy
+unfiltering) and baseline grayscale JPEG (``jpeg.decode_jpeg_gray`` —
+pure-Python T.81 Huffman + numpy IDCT).  Color/progressive JPEG and
+video remain the documented stub: pass ``extractor`` or get
+``NotImplementedError`` at plan-build time.
 
 Scale: payload columns are the heavy bytes — keep them OUT of shuffles.
 All kernels here are narrow (mapInPandas, no exchange); pipelines
@@ -101,16 +102,19 @@ def extract_image_features(
     dim: int = 16,
     extractor: Callable[[bytes], np.ndarray] | None = None,
 ) -> DataFrame:
-    """Pixel-level feature extraction.  For PNG payloads use the
-    in-repo real decoder: ``png.png_feature_extractor(dim)``.  Other
-    codecs (JPEG/video) need a library this container lacks — pass
-    ``extractor`` or this raises at plan-build time, not inside
-    executors."""
+    """Pixel-level feature extraction.  In-repo real decoders:
+    ``png.png_feature_extractor(dim)`` for PNG and
+    ``jpeg.jpeg_feature_extractor(dim)`` for baseline grayscale JPEG.
+    Other codecs (color/progressive JPEG, video) need a library this
+    container lacks — pass ``extractor`` or this raises at plan-build
+    time, not inside executors."""
     if extractor is None:
         raise NotImplementedError(
             "pass `extractor` (bytes -> np.ndarray[dim]): "
-            "png.png_feature_extractor(dim) for PNG (in-repo, real), or a "
-            "PIL/ffmpeg-based one in production for JPEG/video"
+            "png.png_feature_extractor(dim) for PNG or "
+            "jpeg.jpeg_feature_extractor(dim) for baseline grayscale JPEG "
+            "(both in-repo, real); a PIL/ffmpeg-based one in production "
+            "for color/progressive JPEG and video"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

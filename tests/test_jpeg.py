@@ -1,0 +1,129 @@
+"""Baseline JPEG grayscale codec (jpeg.py): roundtrips, explicit
+capability boundary, and the Spark-side multimodal integration."""
+
+import numpy as np
+import pytest
+
+from datamart_spark.jpeg import (
+    JpegError,
+    STD_LUMA_Q,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+    jpeg_feature_extractor,
+)
+
+ONES = np.ones((8, 8), dtype=np.int32)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+
+
+def test_roundtrip_near_lossless_q1():
+    """All-ones quantization: the only loss is DCT coefficient rounding
+    (±1 grey level)."""
+    rng = np.random.default_rng(3)
+    for shape in ((32, 32), (13, 21), (8, 8), (1, 1)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = decode_jpeg_gray(encode_jpeg_gray(img, qtable=ONES))
+        assert dec.shape == (*shape, 1)
+        assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_roundtrip_standard_table_smooth():
+    """Annex K luminance table on a smooth gradient: small bounded error."""
+    img = _gradient(40, 56)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img))
+    err = np.abs(dec[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 8 and err.mean() < 2.0
+
+
+def test_flat_image_exact_dc_path():
+    img = np.full((16, 24), 97, dtype=np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert np.abs(dec[:, :, 0].astype(int) - 97).max() <= 1
+
+
+def test_deterministic():
+    img = _gradient(24, 24)
+    assert encode_jpeg_gray(img) == encode_jpeg_gray(img)
+    payload = encode_jpeg_gray(img)
+    assert (decode_jpeg_gray(payload) == decode_jpeg_gray(payload)).all()
+
+
+def test_unsupported_variants_raise_cleanly():
+    with pytest.raises(JpegError, match="not a JPEG"):
+        decode_jpeg_gray(b"\x89PNG")
+    # progressive (SOF2)
+    with pytest.raises(JpegError, match="baseline"):
+        decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x0b" + b"\x00" * 9)
+    # multi-component SOF0 (color)
+    sof_color = bytes([8, 0, 16, 0, 16, 3]) + b"\x00" * 9
+    seg = b"\xff\xd8\xff\xc0" + (len(sof_color) + 2).to_bytes(2, "big") + sof_color
+    with pytest.raises(JpegError, match="grayscale"):
+        decode_jpeg_gray(seg)
+    # truncated: SOI only
+    with pytest.raises(JpegError, match="missing"):
+        decode_jpeg_gray(b"\xff\xd8\xff\xd9")
+
+
+def test_byte_stuffing_roundtrip():
+    """Random images until at least one emits a stuffed 0xFF byte in
+    its entropy data — exercises the stuffing/unstuffing path; every
+    payload must decode sanely and q=1 roundtrips stay within ±1."""
+    rng = np.random.default_rng(11)
+    saw_stuffing = False
+    for _ in range(20):
+        img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+        payload = encode_jpeg_gray(img, qtable=ONES)
+        saw_stuffing = saw_stuffing or b"\xff\x00" in payload
+        dec = decode_jpeg_gray(payload)
+        assert dec.shape == (24, 40, 1)
+        assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+    assert saw_stuffing
+
+
+def test_sniff_image_agrees():
+    from datamart_spark.multimodal import sniff_image
+
+    img = _gradient(40, 56)
+    fmt, w, h = sniff_image(encode_jpeg_gray(img))
+    assert (fmt, w, h) == ("jpeg", 56, 40)
+
+
+def test_extract_image_features_jpeg_real(spark):
+    """multimodal.extract_image_features with the in-repo JPEG decoder:
+    the full Spark plumbing over real pixel decode (was the documented
+    stub boundary until round 3)."""
+    from datamart_spark.multimodal import extract_image_features
+
+    rows = []
+    for i in range(6):
+        img = np.full((16, 16), 10 + i * 40, dtype=np.uint8)
+        rows.append((i, bytearray(encode_jpeg_gray(img, qtable=ONES))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in extract_image_features(
+            df, dim=8, extractor=jpeg_feature_extractor(8)
+        ).collect()
+    }
+    assert len(feats) == 6
+    for i in range(6):
+        v = np.array(feats[i])
+        assert v.shape == (8,) and abs(v.sum() - 1.0) < 1e-6
+        # a flat image's luminance histogram is a one-hot at its bin
+        assert v.max() == pytest.approx(1.0)
+        assert int(np.argmax(v)) == min(7, (10 + i * 40) * 8 // 256)
+
+
+def test_quant_table_roundtrips_in_header():
+    img = _gradient(8, 8)
+    payload = encode_jpeg_gray(img)
+    # DQT payload carries the zigzagged standard table; decode re-derives
+    # it — indirectly asserted by the smooth-gradient error bound, but
+    # also check the marker structure directly
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    assert payload[2:4] == b"\xff\xdb"  # first segment is DQT
+    assert STD_LUMA_Q[0, 0] == 16
