@@ -59,6 +59,12 @@ class IndexCatalog:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # DataFrame handles memoized per (spark app, table, snapshot):
+        # re-creating spark.read.parquet(...) per query re-lists the
+        # table's files and re-reads footers for schema inference —
+        # pure per-query overhead for an immutable committed snapshot.
+        # Invalidated on every write/commit.
+        self._df_cache: dict[tuple[str, str, int], DataFrame] = {}
 
     # --- snapshot manifests --------------------------------------------
 
@@ -76,6 +82,7 @@ class IndexCatalog:
             return json.load(f)
 
     def commit_snapshot(self, manifest: dict[str, Any]) -> str:
+        self._df_cache.clear()
         prev = self.current_snapshot()
         seq = (prev["sequence"] + 1) if prev else 1
         manifest = dict(manifest)
@@ -114,6 +121,7 @@ class IndexCatalog:
         ``mode='append'`` appends.  ``options`` are parquet writer
         options (e.g. ``parquet.block.size`` for skip-friendly row
         groups on the postings table)."""
+        self._df_cache.clear()
         if mode == "overwrite_partitions":
             w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         else:
@@ -147,6 +155,7 @@ class IndexCatalog:
         committed directory to ``<dst>.old`` before moving the new one
         in, and the marker is removed only after every ``.old`` is
         cleaned up.  ``recover()`` rolls half-swapped partitions back."""
+        self._df_cache.clear()
         parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         tmp = self.table_path(f"_{name}__rewrite")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -200,6 +209,20 @@ class IndexCatalog:
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.table_path(name))
+
+    def read_snapshot(self, spark: SparkSession, name: str) -> DataFrame:
+        """Like ``read`` but memoizes the DataFrame handle per committed
+        snapshot — reuses the resolved file index across queries.  Use
+        on the QUERY path only (between writes, ``read`` stays exact)."""
+        snap = self.current_snapshot()
+        key = (spark.sparkContext.applicationId, name,
+               snap["sequence"] if snap else -1)
+        df = self._df_cache.get(key)
+        if df is None:
+            if len(self._df_cache) > 16:
+                self._df_cache.clear()
+            df = self._df_cache[key] = self.read(spark, name)
+        return df
 
     def exists(self, name: str) -> bool:
         p = self.table_path(name)

@@ -102,7 +102,7 @@ def idf_map(spark: SparkSession, catalog: IndexCatalog, terms: list[str]) -> dic
     missing = [t for t in terms if t not in cache]
     if missing:
         rows = (
-            catalog.read(spark, "term_stats")
+            catalog.read_snapshot(spark, "term_stats")
             .where(F.col("term").isin(missing))
             .select("term", "df")
             .collect()
@@ -164,7 +164,16 @@ def _cached_filter_stats(spark: SparkSession, catalog: IndexCatalog) -> DataFram
         cols = [c for c in ("shard", "doc_id", "lang", "warc_ts") if c in ds.columns]
         from pyspark import StorageLevel
 
-        df = ds.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+        # persisted PRE-HASH-PARTITIONED on shard: the cogroup in
+        # wand.bm25_topk_blockmax requires ClusteredDistribution(shard),
+        # and a cached HashPartitioning(shard) child satisfies it — the
+        # doc_stats side is then exchange-FREE at query time (only the
+        # tiny term-filtered postings side shuffles); filters on the
+        # cached columns preserve the partitioning
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        df = ds.select(*cols).repartition(n_part, "shard").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         _DS_CACHE[key] = df
     return df
 

@@ -307,7 +307,7 @@ def bm25_topk_blockmax(
 
     filtered = lang is not None or ts_lo is not None or ts_hi is not None
     postings = (
-        catalog.read(spark, "postings")
+        catalog.read_snapshot(spark, "postings")
         .where(F.col("term").isin(terms))
         .select(*_POSTING_COLS)
     )

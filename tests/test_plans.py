@@ -85,3 +85,24 @@ def test_search_hydration_broadcasts_hits(spark, catalog):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_filtered_query_doc_stats_side_exchange_free(spark, catalog):
+    """The cached filter-stats side of the cogroup is persisted already
+    hash-partitioned on shard, so a filtered query's doc_stats side adds
+    NO shuffle exchange — only the tiny term-filtered postings side
+    exchanges (at 10^12 docs the doc_stats exchange would dominate
+    per-query cost)."""
+    from datamart_spark.query.bm25 import _cached_filter_stats, _filtered_doc_ids
+
+    # materialize the cache once
+    _cached_filter_stats(spark, catalog).count()
+    ds = _filtered_doc_ids(spark, catalog, lang="en")
+    plan = _plan(ds.groupby("shard").applyInPandas(
+        lambda pdf: pdf.head(0)[["doc_id"]], schema="doc_id long"
+    ))
+    assert "InMemoryTableScan" in plan, plan
+    # the only operators between the cached scan and the python runner
+    # must be filter/project — no Exchange
+    tail = plan.split("InMemoryTableScan")[0]
+    assert "Exchange hashpartitioning" not in tail, plan
