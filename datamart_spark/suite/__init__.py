@@ -39,3 +39,4 @@ from . import fulltext  # noqa: E402,F401
 from . import textfns  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
 from . import star  # noqa: E402,F401
+from . import spatial  # noqa: E402,F401
