@@ -18,6 +18,28 @@ from ..index.catalog import IndexCatalog
 from .wand import bm25_topk_blockmax
 
 TOP_K_SIZE = 50  # reference search/base.py:1
+PAGE_SIZE = 200  # reference union-search page (union.py:131-159)
+
+
+def paginate(df: DataFrame, order_cols: list[str], page_size: int = PAGE_SIZE,
+             after: tuple | None = None) -> DataFrame:
+    """W5 pagination scan — the reference loops ES ``from_``/``size``
+    pages (union.py:131-159 page=200; common.py:254-267 page=10000).
+    Offset pagination re-executes and discards O(pages²) rows at scale;
+    this is the KEYSET form: ``after`` is the previous page's last key
+    tuple, pushed down as a lexicographic range predicate so every page
+    is one pruned scan + TakeOrderedAndProject.  ``order_cols`` must be
+    a unique key (pass a tiebreaker column last)."""
+    out = df
+    if after is not None:
+        cond = None
+        for i, c in enumerate(order_cols):
+            this = F.col(c) > F.lit(after[i])
+            for j in range(i):
+                this = this & (F.col(order_cols[j]) == F.lit(after[j]))
+            cond = this if cond is None else (cond | this)
+        out = out.where(cond)
+    return out.orderBy(*[F.asc(c) for c in order_cols]).limit(page_size)
 
 
 def search(

@@ -442,3 +442,24 @@ def numeric_profile_lineitem(spark, sf_dir):
         F.min("l_discount").alias("disc_min"),
         F.max("l_discount").alias("disc_max"),
     )
+
+
+@register(
+    "keyset_pagination",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey > 1000
+ORDER BY o_orderkey LIMIT 200
+""",
+)
+def keyset_pagination(spark, sf_dir):
+    """W5 pagination scan (reference pages ES from_/size, page=200 —
+    union.py:131-159): the keyset form pushes the page boundary down as
+    a range predicate instead of re-scanning + discarding offsets."""
+    from ..query.search import paginate
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return paginate(orders, ["o_orderkey"], page_size=200, after=(1000,))

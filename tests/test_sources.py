@@ -204,3 +204,59 @@ def test_d3m_writer_layout(spark, tmp_path):
     data = pd.read_csv(os.path.join(dest, "tables", "learningData.csv"))
     assert list(data.columns)[0] == "d3mIndex"
     assert list(data["d3mIndex"]) == [0, 1]
+
+
+def test_materialize_direct_and_proxy_file_urls(spark, tmp_path, files):
+    """S3/S4: file:// (and bare-path) materialization is real; size caps
+    raise DatasetTooBig; http(s) failures surface as MaterializeError."""
+    from datamart_spark.sources.materialize import (
+        DatasetTooBig,
+        MaterializeError,
+        direct_download,
+        materialize_to_dataframe,
+        proxy_download,
+    )
+
+    dest = tmp_path / "out.bin"
+    n = direct_download(str(files["csv"]), str(dest))
+    assert n == os.path.getsize(files["csv"]) and dest.read_bytes().startswith(b"name,age")
+    n2 = direct_download("file://" + str(files["csv"]), str(tmp_path / "o2.bin"))
+    assert n2 == n
+
+    with pytest.raises(DatasetTooBig):
+        direct_download(str(files["csv"]), str(tmp_path / "o3.bin"), size_limit=5)
+
+    # proxy layout: <proxy>/download/<dataset_id>
+    pdir = tmp_path / "proxyroot" / "download"
+    pdir.mkdir(parents=True)
+    (pdir / "ds1").write_bytes(files["csv"].read_bytes())
+    n3 = proxy_download("ds1", str(tmp_path / "o4.bin"), "file://" + str(tmp_path / "proxyroot"))
+    assert n3 == n
+
+    with pytest.raises(MaterializeError, match="unsupported URL scheme"):
+        direct_download("ftp://x/y", str(tmp_path / "o5.bin"))
+    # http in a no-network sandbox: the path is real, the failure clean
+    with pytest.raises(MaterializeError, match="download failed"):
+        direct_download("http://127.0.0.1:1/none.csv", str(tmp_path / "o6.bin"))
+
+    # composed S3 + S5..S11: download -> detect -> DataFrame
+    df = materialize_to_dataframe(spark, str(files["tsv"]), str(tmp_path / "wk"))
+    assert df.columns == ["name", "age"] and df.count() == 2
+
+
+def test_keyset_pagination_walks_all_pages(spark, tmp_path):
+    from datamart_spark.query.search import paginate
+
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(100)], "grp int, seq int"
+    )
+    seen = []
+    after = None
+    while True:
+        page = paginate(df, ["grp", "seq"], page_size=30, after=after).collect()
+        if not page:
+            break
+        seen.extend((r["grp"], r["seq"]) for r in page)
+        after = (page[-1]["grp"], page[-1]["seq"])
+    assert seen == sorted(((i % 7, i) for i in range(100)))
+    assert len(seen) == 100
