@@ -13,7 +13,9 @@ Shuffle plan (exactly ONE wide exchange over token-scale data):
      one SENTINEL row per document (term NULL) carrying doclen + the
      profiled metadata columns — so doc_stats is a narrow filter of the
      tokens table (NO doc_id shuffle, NO join back to the corpus).
-  2. repartition by (term, shard) → mapInArrow encodes posting blocks.
+  2. repartition by shard → mapInArrow encodes posting blocks, emitting
+     (shard, term-lexicographic) order so the shard-partitioned write
+     directly lands ONE term-sorted file per shard (the query layout).
      ``shard = doc_id // width`` is simultaneously
      (a) the *salt* that splits stopword-scale terms across S reducers
      (north rule skew handling: "the" never lands on one task), and
@@ -21,7 +23,8 @@ Shuffle plan (exactly ONE wide exchange over token-scale data):
      for a doc range are co-located → document-at-a-time block-max
      WAND per shard with local top-k + tiny global merge (the same
      document-partitioned query layout Elasticsearch itself scales
-     with).
+     with).  A whole shard per encode task is the memory contract
+     ``default_n_shards`` sizes.
 
 term_stats is DERIVED from the postings blocks (df = Σ n, cf = Σ
 tf_sum over a table of block summaries) — never a second shuffle over
@@ -276,11 +279,14 @@ def _shard_col(width: int):
 
 def default_n_shards(n_docs: int, docs_per_shard: int = 250_000) -> int:
     """Doc-range shard sizing: bounded per-shard state for the query
-    kernel (doclen arrays, candidate sets) and the salt granularity for
-    stopword terms.  ~250k docs/shard ⇒ 4M shards at 10^12 docs — each
-    an independent task; at test scale a handful of shards, so posting
-    blocks stay full (fragmenting every term across O(cores) shards was
-    measured 5× slower at 20k docs)."""
+    kernel (doclen arrays, candidate sets), the salt granularity for
+    stopword terms, AND the encode-task memory contract (one whole
+    shard per encoder task: 250k docs ⇒ ~30M combined (doc, term) rows
+    ≈ 1 GB Arrow — shrink docs_per_shard for smaller executors).
+    ~250k docs/shard ⇒ 4M shards at 10^12 docs — each an independent
+    task; at test scale a handful of shards, so posting blocks stay
+    full (fragmenting every term across O(cores) shards was measured
+    5× slower at 20k docs)."""
     return max(8, (n_docs + docs_per_shard - 1) // docs_per_shard)
 
 
@@ -495,30 +501,26 @@ def build_index(
             if tbl.num_rows:
                 yield from _encode_partition_arrow(tbl)
 
-        # hash-repartition on (term, shard): every group lands whole in
-        # one partition; the encoder processes the partition vectorized.
+        # ONE exchange, hash-partitioned on shard alone: each doc-range
+        # shard lands whole in one task (extra buckets stay empty —
+        # collisions merely co-locate two shards), and the encoder emits
+        # its groups in (shard, term-LEXICOGRAPHIC) order, so the
+        # partitionBy(shard) write directly produces one term-sorted
+        # file per shard — the query layout (row-group min/max pruning
+        # on `term IN`) with NO second shuffle.  A whole shard per task
+        # is the memory contract default_n_shards sizes (250k docs ⇒
+        # ~30M combined (doc,term) rows ≈ 1 GB Arrow per encode task).
         # mapInArrow (not mapInPandas): the term strings stay in Arrow
         # buffers and are dictionary-encoded in C++ — materializing 36M
-        # python string objects was the dominant encode cost
+        # python string objects was the dominant encode cost.
         postings = (
             tok.select("term", "shard", "doc_id", "tf", "doclen")
             .repartition(
-                max(len(todo), 2 * spark.sparkContext.defaultParallelism),
-                "term", "shard",
+                max(2 * len(todo), 2 * spark.sparkContext.defaultParallelism),
+                "shard",
             )
             .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
         )
-        # compaction exchange (segment-merge analog): one more shuffle —
-        # of the ENCODED blocks, ~30× smaller than the token set — lands
-        # each shard partition as ONE term-sorted file.  Query-side this
-        # is the difference between ~2·parallelism footer reads + no
-        # row-group pruning per query and n_shards footers with tight
-        # term min/max pruning (measured: postings scan 0.33 s → 0.04 s
-        # per query at sf0.1).  Hash repartition, so no sampling pass —
-        # the encode still runs exactly once.
-        postings = postings.repartition(
-            max(len(todo), 1), "shard"
-        ).sortWithinPartitions("shard", "term", "block_id")
         catalog.write(
             postings, "postings", partition_by=["shard"],
             mode="overwrite" if fresh else "overwrite_partitions",
@@ -591,7 +593,10 @@ def _encode_partition_arrow(tbl):
     """Encode ALL (term, shard) groups in one partition, Arrow-native:
     dictionary-encode the term column (C++), lexsort int codes, group
     boundaries via code changes, one whole-partition varbyte pass,
-    per-block slices by byte offset.  Yields pyarrow RecordBatches."""
+    per-block slices by byte offset.  Output rows are ordered
+    (shard, term-LEXICOGRAPHIC, block_id) so a shard-partitioned write
+    lands term-sorted files (row-group pruning depends on it).
+    Yields pyarrow RecordBatches."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -605,8 +610,16 @@ def _encode_partition_arrow(tbl):
     tfs = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
     dls = tbl.column("doclen").to_numpy(zero_copy_only=False).astype(np.int32)
 
-    # single combined group key → 2-key lexsort instead of 3
-    gkey = term_codes * (int(shards.max()) + 1) + shards
+    # dictionary codes are first-appearance order; remap to the term's
+    # LEXICOGRAPHIC rank (vocab-sized argsort) so the sort below yields
+    # alphabetical term runs within each shard
+    n_terms = len(term_dict)
+    rank_of_code = np.empty(n_terms, dtype=np.int64)
+    rank_of_code[np.argsort(np.asarray(term_dict, dtype=object))] = np.arange(n_terms)
+    ranks = rank_of_code[term_codes]
+
+    # single combined shard-major group key → 2-key lexsort instead of 3
+    gkey = shards * n_terms + ranks
     order = np.lexsort((doc_ids, gkey))
     gkey, shards, doc_ids, tfs, dls = (
         gkey[order], shards[order], doc_ids[order], tfs[order], dls[order]
