@@ -341,3 +341,70 @@ def ann_ivf_probe(spark, sf_dir):
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+# --- embedding-cosine near-dup (the vector analog of dedup_pipeline) ----------
+
+_ND_THRESH = 0.4
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+WITH b AS (SELECT vec_id, embedding,
+                  {', '.join(f'({sql}) AS bk{i}' for i, (_, sql) in enumerate(_BAND_EXPRS))}
+           FROM embeddings),
+cand AS (SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb,
+                a.embedding AS ea, c.embedding AS eb
+         FROM b a JOIN b c
+           ON a.vec_id < c.vec_id
+          AND ({' OR '.join(f'a.bk{i} = c.bk{i}' for i in range(_N_BANDS))}),
+),
+ver AS (SELECT va, vb, {_cos_sql('ea', 'eb')} AS cos FROM cand),
+keepable AS (SELECT vb AS dropped_id, va AS keep_id, round(cos, 4) AS cosine,
+                    row_number() OVER (PARTITION BY vb ORDER BY va) AS rk
+             FROM ver WHERE cos >= {_ND_THRESH!r})
+SELECT dropped_id, keep_id, cosine FROM keepable WHERE rk = 1
+ORDER BY dropped_id LIMIT 50
+""",
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection, scale-shaped: sign-LSH
+    banding (3 bands x 4 hyperplanes — the same OR-amplified buckets as
+    ann_multiband_candidates) generates candidate pairs as per-band
+    bucket self-joins (never all-pairs), exact cosine verifies them, a
+    deterministic keep-list drops the higher vec_id.  The oracle
+    computes the identical buckets, so the gate covers the full
+    candidate-generation + verification plan."""
+    emb = table(spark, sf_dir, "embeddings")
+    for i, (sp, _) in enumerate(_BAND_EXPRS):
+        emb = emb.withColumn(f"bk{i}", F.expr(sp))
+    a, c = emb.alias("a"), emb.alias("c")
+    band_match = None
+    for i in range(_N_BANDS):
+        m = F.col(f"a.bk{i}") == F.col(f"c.bk{i}")
+        band_match = m if band_match is None else (band_match | m)
+    cand = (
+        a.join(c, (F.col("a.vec_id") < F.col("c.vec_id")) & band_match)
+        .select(
+            F.col("a.vec_id").alias("va"), F.col("c.vec_id").alias("vb"),
+            F.col("a.embedding").alias("ea"), F.col("c.embedding").alias("eb"),
+        )
+        .distinct()
+    )
+    ver = cand.withColumn("cos", F.expr(_cos_spark("ea", "eb"))).where(
+        F.col("cos") >= _ND_THRESH
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vb").orderBy("va")
+    return (
+        ver.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("vb").alias("dropped_id"), F.col("va").alias("keep_id"),
+            F.round("cos", 4).alias("cosine"),
+        )
+        .orderBy("dropped_id")
+        .limit(50)
+    )
