@@ -5,7 +5,7 @@ every entry pairs a Spark DataFrame program with a DuckDB-runnable
 ANSI-SQL oracle sharing exact semantics (simple analyzer, identical
 float expression shapes, round(…,4) before ordering).
 
-The real engine (varbyte posting index + cogrouped block-max DAAT
+The real engine (varbyte posting index + block-max DAAT
 kernel) is on the oracle surface too: the ``bm25_indexed_*`` entries
 build a catalog over the sf dir and answer through
 ``query.wand.bm25_topk_blockmax``.  The stemming analyzer variant is
