@@ -18,11 +18,12 @@ one Spark job per candidate text column: 10^5 sequential jobs on a
   its partition — the reference's delete-then-reinsert on re-profile,
   profiler/profiler.py:286-297);
 - ``DatasetRegistry.search(input_df, ...)`` — the same ranked results
-  as ``augmentation_search`` over everything registered, with a job
-  count INDEPENDENT of registry size: input-side profiling + one
-  sketch-table join for text containment (Lazo arithmetic as Spark
-  column expressions over the broadcast input sketches) + one
-  metadata-scale collect for range/union scoring.
+  as ``augmentation_search`` over everything registered, with job count
+  AND driver memory INDEPENDENT of registry size: text containment is a
+  broadcast sketch-table join (Lazo arithmetic as column expressions),
+  range overlap an exploded-ranges join, union name-matching
+  levenshtein expressions + per-dataset greedy matching inside
+  ``applyInPandas`` — the driver sees only two top-k result lists.
 """
 
 from __future__ import annotations
@@ -35,9 +36,8 @@ from .discovery import (
     N_PERMUTATIONS,
     _perm_hash,
     column_minhash_sketch,
+    greedy_pair_matching,
     interleave_results,
-    range_overlap_score,
-    union_candidate_score,
 )
 
 _SKETCH_SCHEMA = (
@@ -133,8 +133,19 @@ class DatasetRegistry:
         k: int = 50,
     ) -> list[dict]:
         """Same result contract as ``discovery.augmentation_search`` but
-        against the persistent registry.  Job count is independent of
-        the number of registered datasets."""
+        against the persistent registry, FULLY distributed: containment
+        (sketch join), range overlap (exploded-ranges join) and union
+        name-matching (levenshtein expressions + per-dataset greedy
+        matching in applyInPandas) all execute as Spark plans; the
+        driver collects only the two top-k result lists.  Job count AND
+        driver memory are independent of registry size (the reference's
+        ES queries return pages; the old implementation collected every
+        registered column's metadata — fine at 10^3 datasets, a driver
+        bottleneck at 10^5)."""
+        import json
+
+        import pandas as pd
+
         from ..profiler.types_infer import (
             TYPE_FLOAT, TYPE_INTEGER, TYPE_TEXT, profile_dataframe,
         )
@@ -150,13 +161,21 @@ class DatasetRegistry:
 
         kw_terms = [t for t in (keywords or "").lower().split() if t]
         reg = self.read(spark)
+        # R4 keyword ×10: every query term contained in the dataset name
+        if kw_terms:
+            kw_expr = F.lit(True)
+            for t in kw_terms:
+                kw_expr = kw_expr & F.contains(F.lower("dataset"), F.lit(t))
+            boost = F.when(kw_expr, F.lit(10.0)).otherwise(F.lit(1.0))
+        else:
+            boost = F.lit(1.0)
 
-        join_results: list[dict] = []
+        join_parts: list[DataFrame] = []
 
-        # text containment: ONE distributed join — broadcast the input
-        # sketches against the registry sketch rows; Lazo arithmetic
-        # (JS = matches/K; ∩ = JS/(1+JS)·(|L|+|R|); JC = ∩/|L| clamped)
-        # as column expressions, matching lazo_containment_estimate
+        # text containment: broadcast the input sketches against the
+        # registry sketch rows; Lazo arithmetic (JS = matches/K;
+        # ∩ = JS/(1+JS)·(|L|+|R|); JC = ∩/|L| clamped) as column
+        # expressions, matching lazo_containment_estimate
         if in_text:
             in_rows = [
                 (p.name, *column_minhash_sketch(input_df, p.name, self.n_hashes))
@@ -181,64 +200,124 @@ class DatasetRegistry:
                 F.col("in_card") + F.col("card")
             ).cast("double")
             jc = F.least(F.lit(1.0), inter / F.col("in_card").cast("double"))
-            scored = (
+            join_parts.append(
                 reg.where(F.col("structural_type") == TYPE_TEXT)
                 .where(F.col("mhs").isNotNull())
                 .crossJoin(F.broadcast(in_sk))
                 .where(F.col("in_card") > 0)
-                .withColumn("jc", jc)
-                .where(F.col("jc") > 0)
-                .select("dataset", "input_column", "column", "jc")
+                .withColumn("score", jc * boost)
+                .where(F.col("score") > 0)
+                .select("dataset", "input_column", "column", "score")
             )
-            for r in scored.collect():
-                name = r["dataset"]
-                kw_match = bool(kw_terms) and all(t in name.lower() for t in kw_terms)
-                join_results.append(
-                    {
-                        "type": "join", "dataset": name,
-                        "input_column": r["input_column"], "column": r["column"],
-                        "score": float(r["jc"]) * (10.0 if kw_match else 1.0),  # R4
-                    }
+
+        # R2 range overlap: broadcast the input ranges (with each input
+        # column's total coverage), explode the registry's range arrays,
+        # positive-intersection arithmetic, sum per column pair
+        if in_numeric:
+            qr = []
+            for p in in_numeric:
+                total = sum(lte - gte + 1 for gte, lte in p.ranges)
+                if total <= 0:
+                    continue
+                for gte, lte in p.ranges:
+                    qr.append((p.name, float(gte), float(lte), float(total)))
+            if qr:
+                qdf = F.broadcast(spark.createDataFrame(
+                    qr, "input_column string, q_gte double, q_lte double, total double"
+                ))
+                inter_len = (
+                    F.least("q_lte", F.col("r.lte")) -
+                    F.greatest("q_gte", F.col("r.gte")) + F.lit(1.0)
                 )
-
-        # range overlap + union matching: metadata-scale collect (one row
-        # per registered column — the analog of the reference's ES hits)
-        meta = reg.select("dataset", "column", "structural_type", "ranges").collect()
-        by_dataset: dict[str, list] = {}
-        for r in meta:
-            by_dataset.setdefault(r["dataset"], []).append(r)
-
-        union_results: list[dict] = []
-        for name, cols in by_dataset.items():
-            kw_match = bool(kw_terms) and all(t in name.lower() for t in kw_terms)
-            for ip in in_numeric:
-                for cr in cols:
-                    if cr["structural_type"] not in (TYPE_INTEGER, TYPE_FLOAT):
-                        continue
-                    if not cr["ranges"]:
-                        continue
-                    score = range_overlap_score(
-                        ip.ranges, [(x["gte"], x["lte"]) for x in cr["ranges"]]
+                join_parts.append(
+                    reg.where(
+                        F.col("structural_type").isin([TYPE_INTEGER, TYPE_FLOAT])
                     )
-                    if score > 0:
-                        join_results.append(
-                            {
-                                "type": "join", "dataset": name,
-                                "input_column": ip.name, "column": cr["column"],
-                                "score": score * (10.0 if kw_match else 1.0),
-                            }
-                        )
-            u_score, matched = union_candidate_score(
-                [p.name for p in in_profs], [c["column"] for c in cols]
-            )
-            if u_score > 0:
-                union_results.append(
-                    {
-                        "type": "union", "dataset": name, "score": u_score,
-                        "matched_pairs": matched,
-                    }
+                    .where(F.col("ranges").isNotNull())
+                    .select("dataset", "column", F.explode("ranges").alias("r"))
+                    .crossJoin(qdf)
+                    .withColumn("inter", inter_len)
+                    .where(F.col("inter") > 0)
+                    .groupBy("dataset", "input_column", "column")
+                    .agg(F.sum(F.col("inter") / F.col("total")).alias("raw"))
+                    .withColumn("score", F.col("raw") * boost)
+                    .select("dataset", "input_column", "column", "score")
                 )
 
-        join_results.sort(key=lambda r: (-r["score"], r["dataset"], r["column"]))
-        union_results.sort(key=lambda r: (-r["score"], r["dataset"]))
+        join_results: list[dict] = []
+        if join_parts:
+            allj = join_parts[0]
+            for part in join_parts[1:]:
+                allj = allj.unionByName(part)
+            top = (
+                allj.orderBy(F.desc("score"), F.asc("dataset"), F.asc("column"))
+                .limit(k)  # interleave consumes at most k join results
+                .collect()
+            )
+            join_results = [
+                {
+                    "type": "join", "dataset": r["dataset"],
+                    "input_column": r["input_column"], "column": r["column"],
+                    "score": float(r["score"]),
+                }
+                for r in top
+            ]
+
+        # R6/W3 union: name similarities as levenshtein expressions
+        # (identical arithmetic to discovery.name_similarity), greedy
+        # matching per dataset inside applyInPandas — the only python in
+        # the loop is O(columns-of-one-dataset) per task
+        in_names = [p.name for p in in_profs]
+        n_input = len(in_names)
+        names_df = F.broadcast(spark.createDataFrame(
+            [(n,) for n in in_names], "input_column string"
+        ))
+        la = F.lower("input_column")
+        lb = F.lower("column")
+        sim = F.when(
+            F.contains(lb, la) | F.contains(la, lb), F.lit(1.0)
+        ).otherwise(
+            F.lit(1.0)
+            - F.levenshtein(la, lb).cast("double")
+            / F.greatest(F.length(la), F.length(lb)).cast("double")
+        )
+        pair_sims = (
+            reg.select("dataset", "column").crossJoin(names_df)
+            .withColumn("sim", sim)
+        )
+
+        def score_dataset(pdf):
+            pairs = list(zip(pdf["input_column"], pdf["column"], pdf["sim"]))
+            matched = [(a, b, float(x)) for a, b, x in greedy_pair_matching(pairs)]
+            if len(matched) <= 1:
+                return pd.DataFrame(
+                    {"dataset": pd.Series([], dtype="str"),
+                     "score": pd.Series([], dtype="float64"),
+                     "pairs": pd.Series([], dtype="str")}
+                )
+            score = sum(s for _, _, s in matched) / n_input
+            return pd.DataFrame(
+                {
+                    "dataset": [pdf["dataset"].iloc[0]],
+                    "score": [score],
+                    "pairs": [json.dumps(matched)],
+                }
+            )
+
+        union_top = (
+            pair_sims.groupby("dataset")
+            .applyInPandas(score_dataset, schema="dataset string, score double, pairs string")
+            .where(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("dataset"))
+            .limit(k)
+            .collect()
+        )
+        union_results = [
+            {
+                "type": "union", "dataset": r["dataset"], "score": float(r["score"]),
+                "matched_pairs": [tuple(x) for x in json.loads(r["pairs"])],
+            }
+            for r in union_top
+        ]
+
         return interleave_results(join_results, union_results, k=k)
