@@ -70,6 +70,8 @@ class DatasetRegistry:
         # P10: the synthetic d3mIndex column is excluded everywhere the
         # reference searches (search/join.py:54-56, union.py:35-37)
         df = df.drop("d3mIndex")
+        if not df.columns:  # nothing searchable
+            return 0
         profs = profile_dataframe(df, compute_ranges=True)
 
         text_cols = [p.name for p in profs if p.structural_type == TYPE_TEXT]
@@ -111,6 +113,8 @@ class DatasetRegistry:
             if p.structural_type in (TYPE_INTEGER, TYPE_FLOAT) and p.ranges:
                 ranges = [(float(g), float(l)) for g, l in p.ranges]
             rows.append((name, p.name, p.structural_type, card, sk, ranges))
+        if not rows:  # nothing searchable (e.g. only d3mIndex)
+            return 0
         out = spark.createDataFrame(rows, _SKETCH_SCHEMA)
         (
             out.coalesce(1)
@@ -120,6 +124,9 @@ class DatasetRegistry:
             .parquet(self._table())
         )
         return len(rows)
+
+    def is_empty(self) -> bool:
+        return not os.path.isdir(self._table())
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._table())
@@ -150,6 +157,8 @@ class DatasetRegistry:
             TYPE_FLOAT, TYPE_INTEGER, TYPE_TEXT, profile_dataframe,
         )
 
+        if self.is_empty():
+            return []
         spark = input_df.sparkSession
         input_df = input_df.drop("d3mIndex")
         in_profs = profile_dataframe(input_df, compute_ranges=True)

@@ -299,3 +299,16 @@ def test_registry_job_count_independent_of_registry_size(spark, aug_universe, tm
         reg.register(f"d{i}", candidates["trade prices"])
     n_big = jobs("reg_big", lambda: reg.search(inp, k=50))
     assert n_small == n_big, (n_small, n_big)
+
+
+def test_registry_edge_cases(spark, tmp_path):
+    from datamart_spark.operators.registry import DatasetRegistry
+
+    reg = DatasetRegistry(str(tmp_path / "reg_edge"))
+    inp = spark.createDataFrame([("1.0", "a")], "amount string, code string")
+    # empty registry: no table yet
+    assert reg.search(inp, k=10) == []
+    # a dataset with nothing searchable (only d3mIndex) registers 0 rows
+    only_idx = spark.createDataFrame([(1,)], "d3mIndex long")
+    assert reg.register("useless", only_idx) == 0
+    assert reg.search(inp, k=10) == []
