@@ -45,6 +45,33 @@ _SKETCH_SCHEMA = (
     "card long, mhs array<long>, ranges array<struct<gte: double, lte: double>>"
 )
 
+#: sentinel structural_type for spatial-coverage rows: the registry's
+#: analog of the reference's datamart_spatial_coverage ES index —
+#: column = "<lat>|<lon>", ranges = [(min_lat, max_lat), (min_lon, max_lon)]
+SPATIAL_TYPE = "__spatial_coverage__"
+
+
+def _latlon_pairs(profs) -> list[tuple]:
+    """Deterministic lat/lon pairing: sorted latitude columns zipped
+    with sorted longitude columns (the reference pairs detected
+    lat/long columns per dataset, lib_profiler spatial handling)."""
+    from ..profiler.types_infer import SEM_LATITUDE, SEM_LONGITUDE
+
+    lats = sorted(
+        (p for p in profs if SEM_LATITUDE in p.semantic_types), key=lambda p: p.name
+    )
+    lons = sorted(
+        (p for p in profs if SEM_LONGITUDE in p.semantic_types), key=lambda p: p.name
+    )
+    return list(zip(lats, lons))
+
+
+def _envelope(p) -> tuple[float, float] | None:
+    """Overall (min, max) of a profiled column's coverage ranges."""
+    if not p.ranges:
+        return None
+    return (min(g for g, _ in p.ranges), max(l for _, l in p.ranges))
+
 
 class DatasetRegistry:
     """Parquet-backed registry at ``root`` (one row per column)."""
@@ -113,6 +140,14 @@ class DatasetRegistry:
             if p.structural_type in (TYPE_INTEGER, TYPE_FLOAT) and p.ranges:
                 ranges = [(float(g), float(l)) for g, l in p.ranges]
             rows.append((name, p.name, p.structural_type, card, sk, ranges))
+        # spatial coverage rows (J7): one box per detected lat/lon pair
+        for plat, plon in _latlon_pairs(profs):
+            box_lat, box_lon = _envelope(plat), _envelope(plon)
+            if box_lat and box_lon:
+                rows.append((
+                    name, f"{plat.name}|{plon.name}", SPATIAL_TYPE, None, None,
+                    [box_lat, box_lon],
+                ))
         if not rows:  # nothing searchable (e.g. only d3mIndex)
             return 0
         out = spark.createDataFrame(rows, _SKETCH_SCHEMA)
@@ -253,6 +288,57 @@ class DatasetRegistry:
                     .select("dataset", "input_column", "column", "score")
                 )
 
+        # J7/R3 spatial: input lat/lon coverage boxes vs the registry's
+        # spatial rows — intersection_area / query_coverage (the painless
+        # script arithmetic), distributed like the range join above
+        in_boxes = []
+        for plat, plon in _latlon_pairs(in_profs):
+            blat, blon = _envelope(plat), _envelope(plon)
+            if blat and blon:
+                in_boxes.append((f"{plat.name}|{plon.name}",
+                                 float(blat[0]), float(blat[1]),
+                                 float(blon[0]), float(blon[1])))
+        if in_boxes:
+            coverage = sum(
+                (mx_lat - mn_lat) * (mx_lon - mn_lon)
+                for _, mn_lat, mx_lat, mn_lon, mx_lon in in_boxes
+            )
+            if coverage > 0:
+                qb = F.broadcast(spark.createDataFrame(
+                    in_boxes,
+                    "input_column string, q_min_lat double, q_max_lat double, "
+                    "q_min_lon double, q_max_lon double",
+                ))
+                sp = (
+                    reg.where(F.col("structural_type") == SPATIAL_TYPE)
+                    .select(
+                        "dataset", "column",
+                        F.col("ranges")[0]["gte"].alias("min_lat"),
+                        F.col("ranges")[0]["lte"].alias("max_lat"),
+                        F.col("ranges")[1]["gte"].alias("min_lon"),
+                        F.col("ranges")[1]["lte"].alias("max_lon"),
+                    )
+                    .crossJoin(qb)
+                    .withColumn(
+                        "i_lat",
+                        F.least("q_max_lat", "max_lat")
+                        - F.greatest("q_min_lat", "min_lat"),
+                    )
+                    .withColumn(
+                        "i_lon",
+                        F.least("q_max_lon", "max_lon")
+                        - F.greatest("q_min_lon", "min_lon"),
+                    )
+                    .where((F.col("i_lat") > 0) & (F.col("i_lon") > 0))
+                    .groupBy("dataset", "input_column", "column")
+                    .agg(F.sum(
+                        F.col("i_lat") * F.col("i_lon") / F.lit(coverage)
+                    ).alias("raw"))
+                    .withColumn("score", F.col("raw") * boost)
+                    .select("dataset", "input_column", "column", "score")
+                )
+                join_parts.append(sp)
+
         join_results: list[dict] = []
         if join_parts:
             allj = join_parts[0]
@@ -291,7 +377,8 @@ class DatasetRegistry:
             / F.greatest(F.length(la), F.length(lb)).cast("double")
         )
         pair_sims = (
-            reg.select("dataset", "column").crossJoin(names_df)
+            reg.where(F.col("structural_type") != SPATIAL_TYPE)  # pseudo-columns
+            .select("dataset", "column").crossJoin(names_df)
             .withColumn("sim", sim)
         )
 

@@ -312,3 +312,47 @@ def test_registry_edge_cases(spark, tmp_path):
     only_idx = spark.createDataFrame([(1,)], "d3mIndex long")
     assert reg.register("useless", only_idx) == 0
     assert reg.search(inp, k=10) == []
+
+
+def test_registry_spatial_coverage_scoring(spark, tmp_path):
+    """J7/R3 via the registry: a registered dataset with detected
+    lat/lon columns gets a spatial-coverage row; an input with lat/lon
+    scores candidates by intersection_area / query_coverage (the
+    reference's datamart_spatial_coverage query, search/join.py:229-331)."""
+    from datamart_spark.operators.registry import SPATIAL_TYPE, DatasetRegistry
+
+    def geo_df(lat_lo, lat_hi, lon_lo, lon_hi, n=400):
+        rows = [
+            (str(lat_lo + (lat_hi - lat_lo) * i / (n - 1)),
+             str(lon_lo + (lon_hi - lon_lo) * i / (n - 1)),
+             f"v{i}")
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "latitude string, longitude string, note string"
+        )
+
+    reg = DatasetRegistry(str(tmp_path / "reg_geo"))
+    reg.register("north box", geo_df(10.0, 50.0, 0.0, 40.0))
+    reg.register("far box", geo_df(-80.0, -60.0, -170.0, -150.0))
+
+    # the spatial rows landed
+    rows = reg.read(spark).where(
+        f"structural_type = '{SPATIAL_TYPE}'"
+    ).collect()
+    assert {r["dataset"] for r in rows} == {"north box", "far box"}
+    assert all(r["column"] == "latitude|longitude" for r in rows)
+
+    # input overlapping only the north box
+    res = reg.search(geo_df(20.0, 40.0, 10.0, 30.0), k=50)
+    spatial_hits = [
+        r for r in res
+        if r["type"] == "join" and r["column"] == "latitude|longitude"
+    ]
+    assert spatial_hits and spatial_hits[0]["dataset"] == "north box"
+    assert all(h["dataset"] != "far box" for h in spatial_hits)
+    assert 0 < spatial_hits[0]["score"] <= 1.0
+    # the lat/lon pseudo-column never leaks into union name matching
+    for r in res:
+        if r["type"] == "union":
+            assert all("|" not in p[1] for p in r["matched_pairs"])
