@@ -35,6 +35,42 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def corpus_cache_root(sf_dir: str, kind: str) -> str:
+    """Per-corpus /tmp cache dir for derived tables (tokenization,
+    shingles, the suite index).  Keyed by a hash of the ABSOLUTE sf dir
+    so two dirs sharing a basename never collide (ADVICE r3)."""
+    import hashlib
+    import os
+
+    ap = os.path.abspath(sf_dir.rstrip("/"))
+    key = hashlib.sha1(ap.encode()).hexdigest()[:12]
+    base = os.path.basename(ap) or "root"
+    return f"/tmp/datamart_suite_{kind}_{base}_{key}"
+
+
+def corpus_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the corpus: (name, size, mtime_ns) of every
+    file under documents.parquet.  A regenerated corpus — even with the
+    same row count — changes the fingerprint, so cached derived tables
+    can never silently serve stale data (ADVICE r3: n_docs alone could)."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    h = hashlib.sha1()
+    try:
+        if os.path.isdir(root):
+            for name in sorted(os.listdir(root)):
+                st = os.stat(os.path.join(root, name))
+                h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        else:
+            st = os.stat(root)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        h.update(b"missing")
+    return h.hexdigest()
+
+
 from . import fulltext  # noqa: E402,F401
 from . import textfns  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import register, table
+from . import corpus_cache_root, corpus_fingerprint, register, table
 
 K1 = 1.2
 B = 0.75
@@ -54,18 +54,18 @@ def _direct_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
 
     cached = _DIRECT_TABLES.get(sf_dir)
     if cached is None:
-        base = os.path.basename(sf_dir.rstrip("/")) or "root"
-        root = f"/tmp/datamart_suite_direct_{base}"
+        root = corpus_cache_root(sf_dir, "direct")
         meta_path = os.path.join(root, "meta.json")
         docs = table(spark, sf_dir, "documents")
-        n_docs = float(docs.count())
+        fp = corpus_fingerprint(sf_dir)
         meta = None
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
-            if meta.get("n_docs") != n_docs:
+            if meta.get("fingerprint") != fp:
                 meta = None
         if meta is None:
+            n_docs = float(docs.count())
             import shutil
 
             shutil.rmtree(root, ignore_errors=True)
@@ -88,8 +88,9 @@ def _direct_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
                 .agg(F.avg("dl")).collect()[0][0]
             )
             with open(meta_path, "w") as f:
-                json.dump({"n_docs": n_docs, "avgdl": avgdl}, f)
+                json.dump({"fingerprint": fp, "n_docs": n_docs, "avgdl": avgdl}, f)
         else:
+            n_docs = meta["n_docs"]
             avgdl = meta["avgdl"]
         cached = _DIRECT_TABLES[sf_dir] = (root, n_docs, avgdl)
     root, n_docs, avgdl = cached
@@ -276,26 +277,45 @@ def top_terms_per_lang(spark, sf_dir):
 # SQL as the index-free entries — so the driver's CORRECTNESS gate
 # covers the varbyte decode + WAND kernel path, not just pytest.
 
+#: memoized per-process: validating the on-disk snapshot costs a
+#: docs.count() + listdir, which every indexed suite entry used to
+#: re-pay (VERDICT r3 #2) — validate once per (process, sf dir).
+_SUITE_CATALOGS: dict[str, object] = {}
+
+
 def _suite_catalog(spark: SparkSession, sf_dir: str):
+    import json
     import os
 
     from ..index import IndexCatalog, build_index
 
     from ..index.build import POSTINGS_FORMAT
 
-    base = os.path.basename(sf_dir.rstrip("/")) or "root"
-    cat = IndexCatalog(f"/tmp/datamart_suite_index_{base}")
-    docs = table(spark, sf_dir, "documents")
-    n = docs.count()
+    cached = _SUITE_CATALOGS.get(sf_dir)
+    if cached is not None:
+        return cached
+
+    root = corpus_cache_root(sf_dir, "index")
+    cat = IndexCatalog(root)
+    fp = corpus_fingerprint(sf_dir)
+    fp_path = os.path.join(root, "corpus_fingerprint.json")
+    fp_ok = False
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            fp_ok = json.load(f).get("fingerprint") == fp
     snap = cat.current_snapshot()
     if (
-        snap is None
-        or snap["n_docs"] != n
+        not fp_ok
+        or snap is None
         or snap.get("stemming", True)
         or snap.get("postings_format", 1) < POSTINGS_FORMAT
     ):
+        docs = table(spark, sf_dir, "documents")
         cat.drop()
-        build_index(docs, cat, stemming=False, resume=False, n_docs=n)
+        build_index(docs, cat, stemming=False, resume=False, n_docs=docs.count())
+        with open(fp_path, "w") as f:
+            json.dump({"fingerprint": fp}, f)
+    _SUITE_CATALOGS[sf_dir] = cat
     return cat
 
 
@@ -312,8 +332,12 @@ def _indexed_topk(spark, sf_dir, terms, k=10, lang=None, or_mode=False):
     # provably sufficient once its minimum exact score sits more than
     # 1e-4 below the k-th exact score; escalate the margin until that
     # holds (a fixed +10 could drop a boundary-tied smaller doc_id —
-    # ADVICE r2).
-    for margin in (10, 100, 1000):
+    # ADVICE r2).  Start at 100, not 10: at sf0.1's score density the
+    # margin-10 pool frequently came back full with the gap test
+    # failing, re-executing the whole kernel (VERDICT r3 #2); the pool
+    # is tiny either way and kernel cost is insensitive to k at this
+    # size, so one slightly larger fetch beats two executions.
+    for margin in (100, 1000):
         raw = bm25_topk_blockmax(
             spark, cat, " ".join(terms), k=k + margin, lang=lang, or_mode=or_mode
         )

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import register, table
+from . import corpus_cache_root, corpus_fingerprint, register, table
 from .fulltext import tokens, _TOK_SQL
 
 # int64 from md5 hex prefix — identical in both engines
@@ -391,15 +391,14 @@ def _shingles_cached(spark, sf_dir):
     import os
     import shutil
 
-    base = os.path.basename(sf_dir.rstrip("/")) or "root"
-    root = f"/tmp/datamart_suite_shingles_{base}"
+    root = corpus_cache_root(sf_dir, "shingles")
     meta_path = os.path.join(root, "meta.json")
     docs = table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    fp = corpus_fingerprint(sf_dir)
     ok = False
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            ok = json.load(f).get("n_docs") == n_docs
+            ok = json.load(f).get("fingerprint") == fp
     if not ok:
         shutil.rmtree(root, ignore_errors=True)
         arr = docs.select(
@@ -417,7 +416,7 @@ def _shingles_cached(spark, sf_dir):
         ).dropDuplicates(["doc_id", "shingle"])
         dsh.write.mode("overwrite").parquet(os.path.join(root, "shingles"))
         with open(meta_path, "w") as f:
-            json.dump({"n_docs": n_docs}, f)
+            json.dump({"fingerprint": fp}, f)
     return spark.read.parquet(os.path.join(root, "shingles"))
 
 

@@ -379,19 +379,29 @@ def embedding_neardup_pairs(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     for i, (sp, _) in enumerate(_BAND_EXPRS):
         emb = emb.withColumn(f"bk{i}", F.expr(sp))
-    a, c = emb.alias("a"), emb.alias("c")
-    band_match = None
+    # Candidate generation as a UNION of per-band EQUI-joins: each band's
+    # bucket column is the join key, so Catalyst plans a hash join
+    # (shuffled or broadcast) — never a nested-loop all-pairs product.
+    # An OR of the three equalities in one join condition would leave no
+    # equi-conjunct and compile to BroadcastNestedLoopJoin (O(n^2)
+    # compares at any scale); tests/test_plans.py asserts the banded
+    # shape holds.
+    cands = None
     for i in range(_N_BANDS):
-        m = F.col(f"a.bk{i}") == F.col(f"c.bk{i}")
-        band_match = m if band_match is None else (band_match | m)
-    cand = (
-        a.join(c, (F.col("a.vec_id") < F.col("c.vec_id")) & band_match)
-        .select(
+        bi = emb.select("vec_id", "embedding", F.col(f"bk{i}").alias("bk"))
+        a, c = bi.alias("a"), bi.alias("c")
+        pairs = a.join(
+            c,
+            (F.col("a.bk") == F.col("c.bk"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        ).select(
             F.col("a.vec_id").alias("va"), F.col("c.vec_id").alias("vb"),
             F.col("a.embedding").alias("ea"), F.col("c.embedding").alias("eb"),
         )
-        .distinct()
-    )
+        cands = pairs if cands is None else cands.unionAll(pairs)
+    # (ea, eb) are functionally determined by (va, vb), so id-keyed dedup
+    # carries the arrays through without a re-join against the base table.
+    cand = cands.dropDuplicates(["va", "vb"])
     ver = cand.withColumn("cos", F.expr(_cos_spark("ea", "eb"))).where(
         F.col("cos") >= _ND_THRESH
     )

@@ -87,6 +87,43 @@ def test_search_hydration_broadcasts_hits(spark, catalog):
     assert "SortMergeJoin" not in plan, plan
 
 
+_SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_SF001), reason="driver testdata absent"
+)
+def test_embedding_neardup_plan_is_banded(spark):
+    """The near-dup candidate join must be a hash join per band — an OR
+    of band equalities leaves no equi-conjunct and Catalyst falls back
+    to BroadcastNestedLoopJoin, i.e. physically all-pairs O(n^2)
+    (VERDICT r3 #1: at 10^9 vectors that never finishes)."""
+    from datamart_spark.suite.vectors import embedding_neardup_pairs
+
+    plan = _plan(embedding_neardup_pairs(spark, _SF001))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the banded shape: at least one genuine hash-join on the bucket key
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_SF001), reason="driver testdata absent"
+)
+def test_dedup_pipeline_plan_no_allpairs(spark):
+    """dedup_pipeline's LSH candidate self-join (band,hh equi-keys) must
+    also never degrade to a nested-loop/cartesian product."""
+    from datamart_spark.suite.textfns import dedup_pipeline
+
+    plan = _plan(dedup_pipeline(spark, _SF001))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_filtered_query_doc_stats_side_exchange_free(spark, catalog):
     """The cached filter-stats side of the cogroup is persisted already
     hash-partitioned on shard, so a filtered query's doc_stats side adds
