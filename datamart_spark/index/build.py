@@ -440,14 +440,20 @@ def build_index(
         )
         mark("analyze_tokens")
     elif grown:
+        # staged + deferred: the swap is provisional until the snapshot
+        # commits — recover() rolls it back (or forward) based on
+        # whether the commit landed, so a crash anywhere in the grown
+        # build leaves the OLD snapshot reading exactly its old data
+        # (closes the r3 crash window; see catalog.rewrite_partitions)
         delta = docs.where(F.col("doc_id") >= delta_start)
-        catalog.write(
+        catalog.rewrite_partitions(
             term_doc_tf(delta, stemming=stemming, title_boost=title_boost,
                         meta_cols=meta_cols, tokenizer=tokenizer)
             .withColumn("shard", shard).withColumn("kind", kind),
             "tokens",
+            sorted(set(range(delta_start // width, n_shards))),
             partition_by=["shard", "kind"],
-            mode="overwrite_partitions",
+            defer_cleanup=True,
         )
         mark("analyze_tokens")
     tdf = catalog.read(spark, "tokens")
@@ -466,10 +472,14 @@ def build_index(
             if grown:  # only the re-analyzed partitions need replacing
                 sent = sent.where(F.col("shard") >= delta_start // width)
             sent = sent.select("doc_id", "doclen", *meta_cols, "shard")
-            catalog.write(
-                sent, "doc_stats", partition_by=["shard"],
-                mode="overwrite" if fresh else "overwrite_partitions",
-            )
+            if fresh:
+                catalog.write(sent, "doc_stats", partition_by=["shard"])
+            else:  # staged + deferred (see tokens rewrite above)
+                catalog.rewrite_partitions(
+                    sent, "doc_stats",
+                    sorted(set(range(delta_start // width, n_shards))),
+                    defer_cleanup=True,
+                )
         # avgdl + live-doc count over ALL docs incl. empty ones — one agg
         # over the small doc_stats table (sentinels), never a scan of
         # token-scale data.  The doc_stats row count (not the corpus
@@ -521,11 +531,16 @@ def build_index(
             )
             .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
         )
-        catalog.write(
-            postings, "postings", partition_by=["shard"],
-            mode="overwrite" if fresh else "overwrite_partitions",
-            options=POSTINGS_WRITE_OPTIONS,
-        )
+        if fresh:
+            catalog.write(
+                postings, "postings", partition_by=["shard"],
+                options=POSTINGS_WRITE_OPTIONS,
+            )
+        else:  # staged + deferred (see tokens rewrite above)
+            catalog.rewrite_partitions(
+                postings, "postings", todo,
+                defer_cleanup=True, options=POSTINGS_WRITE_OPTIONS,
+            )
         mark("postings")
     for j in stat_jobs:
         j.result()
@@ -536,12 +551,15 @@ def build_index(
     # block-summary columns of the postings table (302k blocks for 36M
     # postings — three orders of magnitude smaller than the token set)
     pst = catalog.read(spark, "postings")
-    catalog.write(
-        pst.groupBy("term").agg(
-            F.sum("n").cast("long").alias("df"), F.sum("tf_sum").alias("cf")
-        ),
-        "term_stats",
+    ts_df = pst.groupBy("term").agg(
+        F.sum("n").cast("long").alias("df"), F.sum("tf_sum").alias("cf")
     )
+    if fresh:
+        catalog.write(ts_df, "term_stats")
+    else:
+        # staged whole-table swap: a plain overwrite would destroy the
+        # committed snapshot's term_stats if this build crashed mid-write
+        catalog.rewrite_table(ts_df, "term_stats")
     mark("term_stats")
     per_shard = {
         str(r["shard"]): {"blocks": r["blocks"], "postings": r["postings"]}
@@ -576,6 +594,11 @@ def build_index(
         "n_shards": n_shards,
         "shard_width": width,
         "avgdl": avgdl,
+        # reference avgdl the baked uint8 qmax_tfn bound was quantized
+        # at — queries MUST scale by the build's value, not their own
+        # code's constant (ADVICE r3: a drifted duplicate silently
+        # mis-scales block pruning)
+        "tfn_ref_avgdl": TFN_REF_AVGDL,
         "stemming": stemming,
         "title_boost": title_boost,
         "tokenizer": tokenizer,
@@ -586,6 +609,9 @@ def build_index(
         "source": "documents",
     }
     catalog.commit_snapshot(manifest)
+    # the commit above is the atomic point — only now may the staged
+    # rewrites' backups go (a crash before this line rolls forward)
+    catalog.finalize_pending()
     return catalog.current_snapshot()
 
 

@@ -18,7 +18,12 @@ import time
 
 from pyspark.sql import SparkSession, functions as F
 
-from .build import POSTINGS_SCHEMA, POSTINGS_WRITE_OPTIONS, _encode_partition_arrow
+from .build import (
+    POSTINGS_SCHEMA,
+    POSTINGS_WRITE_OPTIONS,
+    TFN_REF_AVGDL,
+    _encode_partition_arrow,
+)
 from .catalog import IndexCatalog
 
 
@@ -43,6 +48,17 @@ def delete_docs(
     snap = catalog.current_snapshot()
     if not snap:
         raise ValueError("nothing committed in this catalog")
+    # the rewrite re-encodes ONLY the touched shards with this code's
+    # TFN_REF_AVGDL; untouched shards keep the build's baked bounds, so
+    # the two constants must agree or block pruning mis-scales on one
+    # side (ADVICE r3)
+    snap_ref = float(snap.get("tfn_ref_avgdl", TFN_REF_AVGDL))
+    if snap_ref != TFN_REF_AVGDL:
+        raise ValueError(
+            f"index baked qmax_tfn at reference avgdl {snap_ref}, this code "
+            f"uses {TFN_REF_AVGDL}; partial re-encode would mix scales — "
+            "rebuild with build_index(resume=False) instead"
+        )
     width = snap["shard_width"]
     t0 = time.time()
 
@@ -66,7 +82,8 @@ def delete_docs(
         ~F.col("doc_id").isin(ids)
     )
     catalog.rewrite_partitions(surviving, "tokens", shards,
-                               partition_by=["shard", "kind"])
+                               partition_by=["shard", "kind"],
+                               defer_cleanup=True)
 
     # 2. doc_stats: re-derive the touched partitions from the sentinels
     tdf = catalog.read(spark, "tokens")
@@ -76,7 +93,7 @@ def delete_docs(
         .where(F.col("kind") == "d")
         .select("doc_id", "doclen", *meta_cols, "shard")
     )
-    catalog.rewrite_partitions(sent, "doc_stats", shards)
+    catalog.rewrite_partitions(sent, "doc_stats", shards, defer_cleanup=True)
 
     # 3. postings: re-encode the touched shards from surviving tokens
     tok = (
@@ -103,11 +120,16 @@ def delete_docs(
         max(len(shards), 1), "shard"
     ).sortWithinPartitions("shard", "term", "block_id")
     catalog.rewrite_partitions(postings, "postings", shards,
-                               options=POSTINGS_WRITE_OPTIONS)
+                               options=POSTINGS_WRITE_OPTIONS,
+                               defer_cleanup=True)
 
-    # 4. re-derive term_stats / avgdl / lineage from the new state
+    # 4. re-derive term_stats / avgdl / lineage from the new state.
+    # Every mutation above is DEFERRED: the snapshot commit at the end
+    # decides whether the delete happened at all — a crash anywhere in
+    # between rolls the whole multi-table delete back on recover(),
+    # closing the old "delete visible early" window.
     pst = catalog.read(spark, "postings")
-    catalog.write(
+    catalog.rewrite_table(
         pst.groupBy("term").agg(
             F.sum("n").cast("long").alias("df"), F.sum("tf_sum").alias("cf")
         ),
@@ -133,6 +155,7 @@ def delete_docs(
         {
             "n_docs": n_docs,
             "avgdl": avgdl,
+            "tfn_ref_avgdl": TFN_REF_AVGDL,
             "shards": per_shard,
             "built_shards_this_run": shards,
             "deleted_doc_ids": len(ids),
@@ -143,4 +166,5 @@ def delete_docs(
     )
     manifest.pop("docs_per_sec", None)
     catalog.commit_snapshot(manifest)
+    catalog.finalize_pending()  # commit landed — backups may go
     return catalog.current_snapshot()

@@ -58,8 +58,13 @@ from ..analyzer import analyze_query
 from ..index.varbyte import vb_decode, delta_decode
 from .bm25 import K1, B, idf_map, _filtered_doc_ids
 
-#: fixed reference avgdl the baked per-block max_tfn is quantized at
-TFN_REF_AVGDL = 256.0
+#: fixed reference avgdl the baked per-block max_tfn is quantized at —
+#: single definition in index.build (ADVICE r3: a drifted duplicate
+#: would silently mis-scale the baked bound and block pruning could
+#: drop true top-k docs).  Queries read the value the INDEX was built
+#: with from the snapshot manifest; this import is only the fallback
+#: for format-2 snapshots that predate the manifest field.
+from ..index.build import TFN_REF_AVGDL  # noqa: E402
 
 _RESULT_SCHEMA = "doc_id long, score double"
 
@@ -116,6 +121,7 @@ def _shard_topk(
     k: int,
     n_terms: int,
     or_mode: bool,
+    tfn_ref: float = TFN_REF_AVGDL,
 ) -> pd.DataFrame:
     """Top-k of one doc-range shard.  ``filter_ids``: sorted doc_ids
     surviving the non-scoring filter context, or None = unfiltered."""
@@ -129,7 +135,7 @@ def _shard_topk(
         return empty  # a query term absent from this shard ⇒ no AND match here
 
     if or_mode:
-        return _shard_topk_or(by_term, filter_ids, idfs, avgdl, k, empty)
+        return _shard_topk_or(by_term, filter_ids, idfs, avgdl, k, empty, tfn_ref)
 
     # AND mode: drive from rarest term (fewest posting entries in shard)
     term_order = sorted(by_term, key=lambda t: int(by_term[t]["n"].sum()))
@@ -191,18 +197,24 @@ def _score_docs(cand, by_term, idfs, avgdl):
     return score
 
 
-def _block_bounds(rows: pd.DataFrame, idf: float, avgdl: float) -> np.ndarray:
-    """Per-block BM25 upper bound: min(corner bound, scaled baked bound)."""
+def _block_bounds(
+    rows: pd.DataFrame, idf: float, avgdl: float, tfn_ref: float = TFN_REF_AVGDL
+) -> np.ndarray:
+    """Per-block BM25 upper bound: min(corner bound, scaled baked bound).
+    ``tfn_ref`` is the reference avgdl the index baked qmax_tfn at
+    (from the snapshot manifest — must match the build, not this code)."""
     mtf = rows["max_tf"].to_numpy().astype(np.float64)
     mdl = rows["min_dl"].to_numpy().astype(np.float64)
     corner = mtf / (mtf + K1 * (1.0 - B + B * mdl / avgdl))
     baked = (rows["qmax_tfn"].to_numpy().astype(np.float64) / 255.0) * max(
-        1.0, avgdl / TFN_REF_AVGDL
+        1.0, avgdl / tfn_ref
     )
     return idf * np.minimum(corner, baked)
 
 
-def _shard_topk_or(by_term, filter_ids, idfs, avgdl, k, empty) -> pd.DataFrame:
+def _shard_topk_or(
+    by_term, filter_ids, idfs, avgdl, k, empty, tfn_ref=TFN_REF_AVGDL
+) -> pd.DataFrame:
     """OR mode: block-max WAND-style pruning, exact results.
 
     1. Seed a threshold θ: fully score the union of every term's
@@ -216,7 +228,7 @@ def _shard_topk_or(by_term, filter_ids, idfs, avgdl, k, empty) -> pd.DataFrame:
     ubs: dict[str, np.ndarray] = {}
     max_ub: dict[str, float] = {}
     for t, rows in by_term.items():
-        ub = _block_bounds(rows, idfs[t], avgdl)
+        ub = _block_bounds(rows, idfs[t], avgdl, tfn_ref)
         ubs[t] = ub
         max_ub[t] = float(ub.max())
     total_ub = sum(max_ub.values())
@@ -291,6 +303,10 @@ def bm25_topk_blockmax(
             "rebuild with build_index(resume=False)"
         )
     avgdl = snap["avgdl"]
+    # the reference avgdl qmax_tfn was baked at — from the manifest, so
+    # an index built by a different code version can never be silently
+    # mis-scaled (ADVICE r3); pre-field format-2 snapshots used 256.0
+    tfn_ref = float(snap.get("tfn_ref_avgdl", TFN_REF_AVGDL))
     stemming = snap.get("stemming", True)
     terms = analyze_query(query, stemming=stemming,
                           tokenizer=snap.get("tokenizer", "simple"))
@@ -316,7 +332,8 @@ def bm25_topk_blockmax(
     if not filtered:
         # no doc_stats side at all: doclens ride in the posting blocks
         def kernel(post_pdf: pd.DataFrame) -> pd.DataFrame:
-            return _shard_topk(post_pdf, None, idfs, avgdl, k, n_terms, or_mode)
+            return _shard_topk(post_pdf, None, idfs, avgdl, k, n_terms, or_mode,
+                               tfn_ref)
 
         local = postings.groupby("shard").applyInPandas(kernel, schema=_RESULT_SCHEMA)
     else:
@@ -324,7 +341,8 @@ def bm25_topk_blockmax(
 
         def kernel2(key, post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
             fids = np.sort(docs_pdf["doc_id"].to_numpy().astype(np.uint64))
-            return _shard_topk(post_pdf, fids, idfs, avgdl, k, n_terms, or_mode)
+            return _shard_topk(post_pdf, fids, idfs, avgdl, k, n_terms, or_mode,
+                               tfn_ref)
 
         local = (
             postings.groupby("shard")

@@ -187,19 +187,20 @@ def test_recover_rolls_back_half_swapped_partition(spark, tmp_path):
     before = [(r["doc_id"], round(r["score"], 9))
               for r in bm25_topk_blockmax(spark, cat, q, k=10).collect()]
 
-    # simulate a crash between `rename(dst, old)` and the new move:
+    # simulate a crash between `rename(dst, backup)` and the new move:
     dst = cat.partition_path("postings", 1)
-    os.rename(dst, dst + ".old")
+    os.rename(dst, cat._backup_path("postings", 1))
     with open(cat._pending_path("postings"), "w") as f:
-        json.dump({"shards": [1, 2]}, f)
-    # ...and one where junk new data arrived but .old still exists
+        json.dump({"shards": [1, 2], "had_old": [1, 2]}, f)
+    # ...and one where junk new data arrived but the backup still exists
     dst2 = cat.partition_path("postings", 2)
-    os.rename(dst2, dst2 + ".old")
+    os.rename(dst2, cat._backup_path("postings", 2))
     os.makedirs(dst2)
 
     assert cat.recover() == ["postings"]
     assert cat.partition_exists("postings", 1)
-    assert not os.path.isdir(dst + ".old") and not os.path.isdir(dst2 + ".old")
+    assert not os.path.isdir(cat._backup_path("postings", 1))
+    assert not os.path.isdir(cat._backup_path("postings", 2))
     assert not os.path.exists(cat._pending_path("postings"))
 
     after = [(r["doc_id"], round(r["score"], 9))
@@ -207,6 +208,108 @@ def test_recover_rolls_back_half_swapped_partition(spark, tmp_path):
     assert after == before and len(after) > 0
     # idempotent when nothing is pending
     assert cat.recover() == []
+
+
+def _boom(*_a, **_k):
+    raise RuntimeError("simulated crash")
+
+
+def _topk(spark, cat, q, k=15):
+    return [(r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk_blockmax(spark, cat, q, k=k).collect()]
+
+
+def test_grown_build_crash_before_commit_rolls_back(spark, tmp_path):
+    """VERDICT r3 #5: a grown build that dies AFTER its staged partition
+    swaps but BEFORE the snapshot commit must leave the old snapshot
+    reading exactly its old data — the swaps are provisional until the
+    commit, and the query path's recover() rolls them back."""
+    root = str(tmp_path / "gc")
+    cat = IndexCatalog(root)
+    build_index(generate_documents(spark, 450), cat, n_shards=4, resume=False)
+    q = f"{_VOCAB[40]} {_VOCAB[300]}"
+    before = _topk(spark, cat, q)
+
+    cat.commit_snapshot = _boom  # crash between table swaps and commit
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_index(generate_documents(spark, 800), cat)
+
+    # a new process: fresh catalog object; the query path auto-recovers
+    cat2 = IndexCatalog(root)
+    snap = cat2.current_snapshot()
+    assert snap["n_docs"] == 450 and snap["sequence"] == 1
+    assert _topk(spark, cat2, q) == before
+    # no grown-corpus rows leak into any index table under the old snap
+    assert cat2.read(spark, "doc_stats").count() == 450
+    from pyspark.sql import functions as F
+    assert (
+        cat2.read(spark, "tokens")
+        .agg(F.max("doc_id").alias("m")).collect()[0]["m"] == 449
+    )
+    assert not cat2.partition_exists("postings", 5)
+    assert not cat2._pending_markers()
+
+    # and the grown build converges when re-run without the crash
+    m = build_index(generate_documents(spark, 800), cat2)
+    assert m["n_docs"] == 800
+    fresh = IndexCatalog(str(tmp_path / "gc_fresh"))
+    build_index(generate_documents(spark, 800), fresh, resume=False)
+    assert _topk(spark, cat2, q) == _topk(spark, fresh, q)
+
+
+def test_grown_build_crash_after_commit_rolls_forward(spark, tmp_path):
+    """The mirror case: the snapshot commit LANDED but the backup
+    cleanup was lost — recover() must keep the new data (rolling back
+    would desync the committed manifest from the tables)."""
+    root = str(tmp_path / "gf")
+    cat = IndexCatalog(root)
+    build_index(generate_documents(spark, 450), cat, n_shards=4, resume=False)
+
+    cat.finalize_pending = _boom  # crash right after the commit
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_index(generate_documents(spark, 800), cat)
+
+    cat2 = IndexCatalog(root)
+    assert cat2.current_snapshot()["n_docs"] == 800
+    assert cat2.recover() != []  # markers resolved forward
+    assert not cat2._pending_markers()
+    q = f"{_VOCAB[40]} {_VOCAB[300]}"
+    fresh = IndexCatalog(str(tmp_path / "gf_fresh"))
+    build_index(generate_documents(spark, 800), fresh, resume=False)
+    assert _topk(spark, cat2, q) == _topk(spark, fresh, q)
+    # backups are gone
+    import os
+    for t in ("tokens", "doc_stats", "postings"):
+        assert not [d for d in os.listdir(cat2.table_path(t))
+                    if d.startswith("_old_")], t
+
+
+def test_delete_crash_before_commit_rolls_back_everywhere(spark, tmp_path):
+    """A delete that dies before its snapshot commit must be invisible:
+    all four tables (tokens, doc_stats, postings, term_stats) roll back
+    together — closing the old 'delete visible early' window."""
+    from datamart_spark.index import delete_docs
+
+    root = str(tmp_path / "dc")
+    cat = IndexCatalog(root)
+    build_index(generate_documents(spark, 300), cat, n_shards=4, resume=False)
+    q = f"{_VOCAB[40]} {_VOCAB[120]}"
+    before = _topk(spark, cat, q, k=10)
+    ts_before = cat.read(spark, "term_stats").count()
+
+    cat.commit_snapshot = _boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        delete_docs(spark, cat, doc_ids=[5, 6, 200])
+
+    cat2 = IndexCatalog(root)
+    assert _topk(spark, cat2, q, k=10) == before
+    assert cat2.read(spark, "doc_stats").count() == 300  # nothing deleted
+    assert cat2.read(spark, "term_stats").count() == ts_before
+    assert not cat2._pending_markers()
+
+    # the delete is idempotent — re-running it completes
+    m = delete_docs(spark, cat2, doc_ids=[5, 6, 200])
+    assert m["n_docs"] == 297
 
 
 def test_delete_then_ingest_never_reuses_doc_ids(spark, tmp_path):
