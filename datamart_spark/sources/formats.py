@@ -197,6 +197,14 @@ def xlsx_to_csv(src: str, dst: str) -> None:
         rows: list[list[str]] = []
         sheet = ET.fromstring(z.read(sheet_path))
         for row in sheet.find("m:sheetData", ns) or ():
+            # sparse sheets omit wholly-empty <row> elements; xlrd pads
+            # every row up to nrows, so honor the 1-based r attribute
+            # and emit empty rows for the gaps (ADVICE r3 — otherwise
+            # row indices shift relative to the reference output)
+            r_attr = row.get("r")
+            if r_attr is not None:
+                while len(rows) < int(r_attr) - 1:
+                    rows.append([])
             values: list[str] = []
             for c in row.findall("m:c", ns):
                 idx = col_index(c.get("r", "")) if c.get("r") else len(values)

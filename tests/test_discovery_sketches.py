@@ -300,6 +300,44 @@ def test_registry_job_count_independent_of_registry_size(spark, aug_universe, tm
     n_big = jobs("reg_big", lambda: reg.search(inp, k=50))
     assert n_small == n_big, (n_small, n_big)
 
+    # scale evidence (VERDICT r3 #6): ~100 registered datasets.
+    # register() itself must stay O(1) jobs regardless of how many
+    # datasets the registry already holds, and search's job count must
+    # be flat past any size.  One caveat: past 32 partitions Spark's
+    # parquet listing itself becomes ONE distributed job
+    # (parallelPartitionDiscovery.threshold) — a constant, and exactly
+    # what a 10^5-partition registry wants — so the strict equality is
+    # asserted between 50 and 100 datasets (both past the threshold)
+    # and the small→large delta is bounded by that single listing job.
+    from pyspark.sql import functions as F
+
+    filler = spark.createDataFrame(
+        [("alpha", 1.0), ("beta", 2.0)], "code string, amount double"
+    )
+    n_reg_early = jobs("reg_add_early", lambda: reg.register("d6", filler))
+
+    def bulk_fill(lo, hi):
+        # test scaffolding only: replicate d6's registry rows under new
+        # dataset names in ONE append (93 sequential register() calls
+        # would cost minutes of suite time and prove nothing extra —
+        # the O(1)-jobs claim is carried by the two measured calls)
+        base = reg.read(spark).where(F.col("dataset") == "d6").drop("dataset")
+        names = spark.createDataFrame(
+            [(f"d{i}",) for i in range(lo, hi)], "dataset string"
+        )
+        base.crossJoin(names).write.mode("append").partitionBy(
+            "dataset"
+        ).parquet(reg._table())
+
+    bulk_fill(7, 50)
+    n_50 = jobs("reg_50", lambda: reg.search(inp, k=50))
+    bulk_fill(50, 99)
+    n_reg_late = jobs("reg_add_late", lambda: reg.register("d99", filler))
+    assert n_reg_early == n_reg_late, (n_reg_early, n_reg_late)
+    n_100 = jobs("reg_100", lambda: reg.search(inp, k=50))
+    assert n_100 == n_50, (n_50, n_100)
+    assert n_100 <= n_small + 1, (n_small, n_100)
+
 
 def test_registry_edge_cases(spark, tmp_path):
     from datamart_spark.operators.registry import DatasetRegistry

@@ -140,6 +140,37 @@ def test_xlsx_to_csv_stdlib(tmp_path):
     ]
 
 
+def test_xlsx_sparse_rows_padded(tmp_path):
+    """ADVICE r3: wholly-absent <row> elements (sparse sheets) must
+    emit empty CSV rows — xlrd pads to nrows, so row indices in the
+    output must not shift relative to the reference converter."""
+    import zipfile
+
+    src = tmp_path / "sp.xlsx"
+    _write_min_xlsx(str(src))
+    with zipfile.ZipFile(src) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    parts["xl/worksheets/sheet1.xml"] = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>2</v></c></row>
+  <row r="4"><c r="A4" t="inlineStr"><is><t>bob</t></is></c><c r="B4"><v>7</v></c></row>
+ </sheetData>
+</worksheet>"""
+    with zipfile.ZipFile(src, "w") as z:
+        for n, data in parts.items():
+            z.writestr(n, data)
+    dst = tmp_path / "sp.csv"
+    CONVERTERS["excel"](str(src), str(dst))
+    rows = list(csv.reader(open(dst)))
+    assert rows == [
+        ["name", "score"],
+        ["", ""],
+        ["", ""],
+        ["bob", "7"],
+    ]
+
+
 def test_xlsx_multi_sheet_rejected(tmp_path):
     import zipfile
 
