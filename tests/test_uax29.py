@@ -47,6 +47,24 @@ VECTORS = [
     ("ひらがな", ["ひ", "ら", "が", "な"]),
     ("カタカナ", ["カタカナ"]),
     ("中文abc", ["中", "文", "abc"]),
+    # WB7b/WB7c gershayim: double quote joins a HEBREW letter pair only
+    ('צה"ל', ['צה"ל']),
+    ('מנכ״ל', ['מנכ״ל']),      # U+05F4 gershayim (MidLetter)
+    ('a"b', ["a", "b"]),
+    ('3"4', ["3", "4"]),
+    ('say "hello" now', ["say", "hello", "now"]),
+    ('א"', ["א"]),             # trailing DQ never attaches
+    # WB7a geresh: single quote AFTER a Hebrew letter stays attached
+    ("א'", ["א'"]),
+    ("ג'ון אמר", ["ג'ון", "אמר"]),
+    ("abc' def", ["abc", "def"]),  # Latin trailing quote still drops
+    # WB15/WB16: regional indicators pair from the left
+    ("\U0001f1fa\U0001f1f8", ["\U0001f1fa\U0001f1f8"]),
+    ("\U0001f1fa\U0001f1f8\U0001f1eb\U0001f1f7",
+     ["\U0001f1fa\U0001f1f8", "\U0001f1eb\U0001f1f7"]),
+    ("\U0001f1fa\U0001f1f8\U0001f1eb\U0001f1f7\U0001f1e9",
+     ["\U0001f1fa\U0001f1f8", "\U0001f1eb\U0001f1f7", "\U0001f1e9"]),
+    ("hi \U0001f1e9\U0001f1ea there", ["hi", "\U0001f1e9\U0001f1ea", "there"]),
 ]
 
 
