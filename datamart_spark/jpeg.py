@@ -1,22 +1,24 @@
-"""Pure-Python baseline JPEG (ITU T.81) grayscale codec.
+"""Pure-Python baseline JPEG (ITU T.81) codec — grayscale AND YCbCr color.
 
 The sandbox has no image codec libraries; PNG is already decoded
 in-repo (png.py).  This module closes the JPEG half of the multimodal
-stub boundary for the common sequential-baseline grayscale case, making
-``multimodal.extract_image_features`` a REAL operator for such payloads
+stub boundary for sequential-baseline payloads, making
+``multimodal.extract_image_features`` a REAL operator for them
 (reference scope: the engine's multimodal columns carry crawled image
 bytes; the reference itself never decodes pixels — this exceeds it).
 
-Decoder (`decode_jpeg_gray`): baseline sequential DCT (SOF0), 8-bit,
-single component, single scan, no restart markers.  Everything else —
-progressive (SOF2), multi-component color, arithmetic coding, DRI —
+Decoder (`decode_jpeg`): baseline sequential DCT (SOF0), 8-bit, single
+interleaved scan; 1 component → grayscale, 3 components → YCbCr→RGB
+with any integer sampling (4:4:4 / 4:2:2 / 4:2:0).  Everything else —
+progressive (SOF2), arithmetic coding, restart intervals, CMYK —
 raises ``JpegError`` with the exact reason: the codec boundary stays
-explicit, it just moved.
+explicit, it just moved (again).
 
-Encoder (`encode_jpeg_gray`): same subset, standard Annex K luminance
-quantization + Huffman tables (overridable) — used by tests and the
-synthetic multimodal corpus; an all-ones quantization table roundtrips
-within ±1 grey level (DCT rounding; asserted in tests/test_jpeg.py).
+Encoders (`encode_jpeg_gray`, `encode_jpeg_color`): same subset,
+standard Annex K quantization + Huffman tables (overridable) — used by
+tests and the synthetic multimodal corpus; all-ones quantization
+roundtrips within ±1 grey level for grayscale and a few levels for
+color (YCbCr + DCT rounding; asserted in tests/test_jpeg.py).
 
 Deterministic pure functions of the bytes (per-row invariance like
 extract_text).  numpy does the 8×8 DCT as two matrix products.
@@ -158,14 +160,49 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Baseline grayscale JPEG bytes → (height, width, 1) uint8."""
+def _decode_block(br: _BitReader, dc_t: dict, ac_t: dict, q: np.ndarray,
+                  pred: int) -> tuple[np.ndarray, int]:
+    """Decode one 8×8 block (T.81 F.12/F.13) → (+128-level float pixels,
+    new DC predictor)."""
+    coef = np.zeros(64, dtype=np.int64)
+    t = br.decode_huff(dc_t)
+    pred += _extend(br.get(t), t)
+    coef[0] = pred
+    k = 1
+    while k < 64:  # T.81 F.13 AC decode: (run, size) pairs
+        rs = br.decode_huff(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC coefficient index overflow")
+        coef[k] = _extend(br.get(s), s)
+        k += 1
+    block = np.zeros(64)
+    block[_ZIGZAG] = (coef * q).astype(np.float64)
+    return _C.T @ block.reshape(8, 8) @ _C + 128.0, pred
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG bytes → (height, width, channels) uint8.
+
+    1 component → grayscale (channels=1); 3 components → YCbCr decoded
+    to RGB (channels=3), any integer sampling ratio (4:4:4, 4:2:2,
+    4:2:0, ...) via the interleaved-MCU scan of T.81 A.2.3.  Chroma is
+    upsampled by sample replication (the JFIF baseline).  Progressive,
+    arithmetic coding, 12-bit, restart intervals and 4-component CMYK
+    still raise ``JpegError`` with the exact reason."""
     if not payload or payload[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
-    h = w = qsel = dc_sel = ac_sel = scan_start = None
+    h = w = scan_start = None
+    comps: list[dict] = []  # SOF order: {id, hs, vs, tq, dc, ac}
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise JpegError("marker expected")
@@ -194,11 +231,18 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 raise JpegError("8-bit sample precision only")
             h = struct.unpack(">H", data[1:3])[0]
             w = struct.unpack(">H", data[3:5])[0]
-            if data[5] != 1:
-                raise JpegError("grayscale (1 component) only")
-            if data[7] != 0x11:
-                raise JpegError("1x1 sampling expected for grayscale")
-            qsel = data[8]
+            n_comp = data[5]
+            if n_comp not in (1, 3):
+                raise JpegError(
+                    f"{n_comp}-component images unsupported (grayscale or "
+                    "YCbCr only; CMYK needs an Adobe transform)"
+                )
+            for i in range(n_comp):
+                o = 6 + 3 * i
+                comps.append({
+                    "id": data[o], "hs": data[o + 1] >> 4,
+                    "vs": data[o + 1] & 15, "tq": data[o + 2],
+                })
         elif marker == 0xC4:  # DHT (possibly several tables in one segment)
             i = 0
             while i < len(data):
@@ -210,52 +254,80 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise JpegError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
-            if data[0] != 1:
-                raise JpegError("single-scan grayscale only")
-            dc_sel, ac_sel = data[2] >> 4, data[2] & 15
+            if data[0] != len(comps):
+                raise JpegError("single interleaved scan only")
+            by_id = {c["id"]: c for c in comps}
+            for i in range(data[0]):
+                c = by_id.get(data[1 + 2 * i])
+                if c is None:
+                    raise JpegError("SOS references unknown component")
+                c["dc"] = data[2 + 2 * i] >> 4
+                c["ac"] = data[2 + 2 * i] & 15
             scan_start = pos + 2 + seg_len
             break
         pos += 2 + seg_len
-    if h is None or scan_start is None:
+    if h is None or scan_start is None or not comps:
         raise JpegError("missing SOF0 or SOS")
-    dc_t = htables.get((0, dc_sel))
-    ac_t = htables.get((1, ac_sel))
-    q = qtables.get(qsel)
-    if dc_t is None or ac_t is None or q is None:
-        raise JpegError("missing Huffman or quantization table")
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    if len(comps) == 1:
+        # a single-component scan is non-interleaved: MCU = one block
+        comps[0]["hs"] = comps[0]["vs"] = hmax = vmax = 1
+    for c in comps:
+        if c["hs"] < 1 or c["vs"] < 1 or hmax % c["hs"] or vmax % c["vs"]:
+            raise JpegError("non-integer chroma sampling ratio unsupported")
+        c["dc_t"] = htables.get((0, c.get("dc", 0)))
+        c["ac_t"] = htables.get((1, c.get("ac", 0)))
+        c["q"] = qtables.get(c["tq"])
+        if c["dc_t"] is None or c["ac_t"] is None or c["q"] is None:
+            raise JpegError("missing Huffman or quantization table")
 
     br = _BitReader(payload[scan_start:])
-    bx, by = -(-w // 8), -(-h // 8)
-    out = np.zeros((by * 8, bx * 8), dtype=np.uint8)
-    pred = 0
-    block = np.zeros(64)
-    for byi in range(by):
-        for bxi in range(bx):
-            coef = np.zeros(64, dtype=np.int64)
-            t = br.decode_huff(dc_t)
-            pred += _extend(br.get(t), t)
-            coef[0] = pred
-            k = 1
-            while k < 64:  # T.81 F.13 AC decode: (run, size) pairs
-                rs = br.decode_huff(ac_t)
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise JpegError("AC coefficient index overflow")
-                coef[k] = _extend(br.get(s), s)
-                k += 1
-            block[:] = 0.0
-            block[_ZIGZAG] = (coef * q).astype(np.float64)
-            pix = _C.T @ block.reshape(8, 8) @ _C + 128.0
-            out[byi * 8:(byi + 1) * 8, bxi * 8:(bxi + 1) * 8] = np.clip(
-                np.round(pix), 0, 255
-            ).astype(np.uint8)
-    return out[:h, :w, None]
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8)) for c in comps
+    ]
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                for byi in range(c["vs"]):
+                    for bxi in range(c["hs"]):
+                        pix, preds[ci] = _decode_block(
+                            br, c["dc_t"], c["ac_t"], c["q"], preds[ci]
+                        )
+                        y0 = (my * c["vs"] + byi) * 8
+                        x0 = (mx * c["hs"] + bxi) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+
+    if len(comps) == 1:
+        out = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    # upsample chroma by replication, then JFIF YCbCr → RGB
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["vs"], axis=0), hmax // c["hs"], axis=1)
+        full.append(p[:h, :w])
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Baseline grayscale JPEG bytes → (height, width, 1) uint8.
+    Color payloads raise (use ``decode_jpeg`` for 3-component YCbCr)."""
+    out = decode_jpeg(payload)
+    if out.shape[2] != 1:
+        raise JpegError("grayscale (1 component) only — use decode_jpeg")
+    return out
 
 
 # --- encoder (test fixtures / synthetic corpora) ------------------------------
@@ -325,33 +397,10 @@ def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray | None = None) -> bytes
     pred = 0
     for byi in range(by):
         for bxi in range(bx):
-            blk = pad[byi * 8:(byi + 1) * 8, bxi * 8:(bxi + 1) * 8] - 128.0
-            qc = np.round((_C @ blk @ _C.T) / q).astype(np.int64)
-            zz = qc.reshape(64)[_ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            s = _size_cat(diff)
-            code, length = dc_enc[s]
-            bw.put(code, length)
-            if s:
-                bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            nz = np.nonzero(zz[1:])[0]
-            last_nz = int(nz[-1]) + 1 if nz.size else 0
-            run = 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw.put(*ac_enc[0xF0])  # ZRL
-                    run -= 16
-                s = _size_cat(v)
-                bw.put(*ac_enc[(run << 4) | s])
-                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                bw.put(*ac_enc[0x00])  # EOB
+            pred = _encode_block(
+                bw, pad[byi * 8:(byi + 1) * 8, bxi * 8:(bxi + 1) * 8] - 128.0,
+                q, dc_enc, ac_enc, pred,
+            )
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -369,15 +418,171 @@ def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray | None = None) -> bytes
     return bytes(out)
 
 
+#: ITU T.81 Annex K.1 — standard chrominance quantization table
+STD_CHROMA_Q = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+#: Annex K.3 — chrominance DC/AC Huffman specs
+DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_C_VALS = list(range(12))
+AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _encode_block(bw: _BitWriter, blk: np.ndarray, q: np.ndarray,
+                  dc_enc: dict, ac_enc: dict, pred: int) -> int:
+    """FDCT + quantize + entropy-code one 8×8 (level-shifted input)."""
+    qc = np.round((_C @ blk @ _C.T) / q).astype(np.int64)
+    zz = qc.reshape(64)[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    s = _size_cat(diff)
+    code, length = dc_enc[s]
+    bw.put(code, length)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = int(nz[-1]) + 1 if nz.size else 0
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_enc[0xF0])  # ZRL
+            run -= 16
+        s = _size_cat(v)
+        bw.put(*ac_enc[(run << 4) | s])
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        bw.put(*ac_enc[0x00])  # EOB
+    return int(zz[0])
+
+
+def encode_jpeg_color(
+    img: np.ndarray,
+    sampling: tuple[int, int] = (2, 2),
+    luma_q: np.ndarray | None = None,
+    chroma_q: np.ndarray | None = None,
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline sequential YCbCr JPEG bytes.
+
+    ``sampling=(h, v)`` is the LUMA sampling factor (chroma is 1×1), so
+    (2, 2) = 4:2:0, (2, 1) = 4:2:2, (1, 1) = 4:4:4.  Chroma planes are
+    box-averaged before encoding.  Annex K luma + chroma quantization
+    and Huffman tables by default; pass all-ones tables for a
+    near-lossless roundtrip (YCbCr + DCT rounding only)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise JpegError("encode_jpeg_color needs (h, w, 3) RGB")
+    hs, vs = sampling
+    if hs not in (1, 2, 4) or vs not in (1, 2, 4):
+        raise JpegError("luma sampling factors must be 1, 2 or 4")
+    h, w = img.shape[:2]
+    ql = STD_LUMA_Q if luma_q is None else np.asarray(luma_q, dtype=np.int32)
+    qc = STD_CHROMA_Q if chroma_q is None else np.asarray(chroma_q, dtype=np.int32)
+
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    # JFIF RGB → YCbCr
+    planes_full = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+
+    mcuw, mcuh = 8 * hs, 8 * vs
+    mcux, mcuy = -(-w // mcuw), -(-h // mcuh)
+    pad_full = [
+        np.pad(p, ((0, mcuy * mcuh - h), (0, mcux * mcuw - w)), mode="edge")
+        for p in planes_full
+    ]
+    # chroma: box-average subsample to the 1×1 grid
+    sub = [pad_full[0]]
+    for p in pad_full[1:]:
+        sub.append(
+            p.reshape(mcuy * 8, vs, mcux * 8, hs).mean(axis=(1, 3))
+        )
+
+    dc_l, ac_l = _inv_huff(DC_BITS, DC_VALS), _inv_huff(AC_BITS, AC_VALS)
+    dc_c, ac_c = _inv_huff(DC_C_BITS, DC_C_VALS), _inv_huff(AC_C_BITS, AC_C_VALS)
+    spec = [  # (plane, hs, vs, qtable, dc table, ac table)
+        (sub[0], hs, vs, ql, dc_l, ac_l),
+        (sub[1], 1, 1, qc, dc_c, ac_c),
+        (sub[2], 1, 1, qc, dc_c, ac_c),
+    ]
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (plane, chs, cvs, q, de, ae) in enumerate(spec):
+                for byi in range(cvs):
+                    for bxi in range(chs):
+                        y0 = (my * cvs + byi) * 8
+                        x0 = (mx * chs + bxi) * 8
+                        preds[ci] = _encode_block(
+                            bw, plane[y0:y0 + 8, x0:x0 + 8] - 128.0,
+                            q, de, ae, preds[ci],
+                        )
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0x00]) + bytes(int(x) & 0xFF for x in ql.reshape(64)[_ZIGZAG]))
+    seg(0xDB, bytes([0x01]) + bytes(int(x) & 0xFF for x in qc.reshape(64)[_ZIGZAG]))
+    seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes(
+        [3, 1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]
+    ))
+    seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    seg(0xC4, bytes([0x01]) + bytes(DC_C_BITS) + bytes(DC_C_VALS))
+    seg(0xC4, bytes([0x11]) + bytes(AC_C_BITS) + bytes(AC_C_VALS))
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out.extend(bw.buf)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def jpeg_feature_extractor(dim: int = 16):
-    """Real pixel-level extractor for baseline grayscale JPEG payloads:
-    normalized luminance histogram over ``dim`` bins — drop-in for
-    ``multimodal.extract_image_features(extractor=...)``, mirroring
-    ``png.png_feature_extractor``."""
+    """Real pixel-level extractor for baseline JPEG payloads (grayscale
+    OR YCbCr color): normalized luminance histogram over ``dim`` bins —
+    drop-in for ``multimodal.extract_image_features(extractor=...)``,
+    mirroring ``png.png_feature_extractor``."""
 
     def fn(payload: bytes) -> np.ndarray:
-        img = decode_jpeg_gray(payload).astype(np.float64)
-        luma = img[:, :, 0]
+        img = decode_jpeg(payload).astype(np.float64)
+        if img.shape[2] == 3:  # BT.601 luma, same weights as the encoder
+            luma = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+        else:
+            luma = img[:, :, 0]
         hist, _ = np.histogram(luma, bins=dim, range=(0, 256))
         return (hist / luma.size).astype(np.float32)
 

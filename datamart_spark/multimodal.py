@@ -104,17 +104,18 @@ def extract_image_features(
 ) -> DataFrame:
     """Pixel-level feature extraction.  In-repo real decoders:
     ``png.png_feature_extractor(dim)`` for PNG and
-    ``jpeg.jpeg_feature_extractor(dim)`` for baseline grayscale JPEG.
-    Other codecs (color/progressive JPEG, video) need a library this
-    container lacks — pass ``extractor`` or this raises at plan-build
-    time, not inside executors."""
+    ``jpeg.jpeg_feature_extractor(dim)`` for baseline JPEG (grayscale
+    and YCbCr color, any integer subsampling).  The remaining codecs
+    (progressive JPEG, video) need a library this container lacks —
+    pass ``extractor`` or this raises at plan-build time, not inside
+    executors."""
     if extractor is None:
         raise NotImplementedError(
             "pass `extractor` (bytes -> np.ndarray[dim]): "
             "png.png_feature_extractor(dim) for PNG or "
-            "jpeg.jpeg_feature_extractor(dim) for baseline grayscale JPEG "
-            "(both in-repo, real); a PIL/ffmpeg-based one in production "
-            "for color/progressive JPEG and video"
+            "jpeg.jpeg_feature_extractor(dim) for baseline JPEG — "
+            "grayscale + YCbCr color (both in-repo, real); a PIL/ffmpeg-"
+            "based one in production for progressive JPEG and video"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

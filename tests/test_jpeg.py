@@ -1,5 +1,6 @@
-"""Baseline JPEG grayscale codec (jpeg.py): roundtrips, explicit
-capability boundary, and the Spark-side multimodal integration."""
+"""Baseline JPEG codec (jpeg.py): grayscale + YCbCr color roundtrips,
+explicit capability boundary, and the Spark-side multimodal
+integration."""
 
 import numpy as np
 import pytest
@@ -7,7 +8,9 @@ import pytest
 from datamart_spark.jpeg import (
     JpegError,
     STD_LUMA_Q,
+    decode_jpeg,
     decode_jpeg_gray,
+    encode_jpeg_color,
     encode_jpeg_gray,
     jpeg_feature_extractor,
 )
@@ -58,14 +61,76 @@ def test_unsupported_variants_raise_cleanly():
     # progressive (SOF2)
     with pytest.raises(JpegError, match="baseline"):
         decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x0b" + b"\x00" * 9)
-    # multi-component SOF0 (color)
-    sof_color = bytes([8, 0, 16, 0, 16, 3]) + b"\x00" * 9
-    seg = b"\xff\xd8\xff\xc0" + (len(sof_color) + 2).to_bytes(2, "big") + sof_color
+    # a real color payload through the grayscale-contract decoder
+    img = np.full((8, 8, 3), 40, dtype=np.uint8)
     with pytest.raises(JpegError, match="grayscale"):
-        decode_jpeg_gray(seg)
+        decode_jpeg_gray(encode_jpeg_color(img))
+    # 4-component (CMYK-style) SOF0
+    sof4 = bytes([8, 0, 16, 0, 16, 4]) + b"\x00" * 12
+    seg = b"\xff\xd8\xff\xc0" + (len(sof4) + 2).to_bytes(2, "big") + sof4
+    with pytest.raises(JpegError, match="4-component"):
+        decode_jpeg(seg)
     # truncated: SOI only
     with pytest.raises(JpegError, match="missing"):
         decode_jpeg_gray(b"\xff\xd8\xff\xd9")
+
+
+# --- color (YCbCr, T.81 interleaved MCU scan) ---------------------------------
+
+
+def test_color_roundtrip_444_near_lossless():
+    """4:4:4 + all-ones quantization: only YCbCr forward/backward and
+    DCT rounding remain (a couple of levels)."""
+    rng = np.random.default_rng(7)
+    for shape in ((24, 17), (8, 8), (3, 5)):
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg_color(img, sampling=(1, 1),
+                                            luma_q=ONES, chroma_q=ONES))
+        assert dec.shape == (*shape, 3)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+@pytest.mark.parametrize("sampling", [(2, 2), (2, 1), (1, 2)])
+def test_color_roundtrip_subsampled(sampling):
+    """4:2:0 / 4:2:2 on a constant-chroma image: chroma subsampling
+    loses nothing, luma rounds by ≤1 — non-MCU-aligned dims included."""
+    y = np.linspace(30, 220, 19 * 26).reshape(19, 26)
+    img = np.stack([y, y, y], axis=2).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_color(img, sampling=sampling,
+                                        luma_q=ONES, chroma_q=ONES))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_color_standard_tables_bounded_error():
+    """Annex K luma+chroma tables at 4:2:0 on a smooth color ramp."""
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack(
+        [(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_color(img, sampling=(2, 2)))
+    err = np.abs(dec.astype(float) - img.astype(float))
+    assert err.mean() < 16.0  # chroma is subsampled AND coarsely quantized
+
+
+def test_color_deterministic_and_gray_unchanged():
+    img = np.dstack([_gradient(16, 16)] * 3)
+    assert encode_jpeg_color(img) == encode_jpeg_color(img)
+    # decode_jpeg on a grayscale payload matches decode_jpeg_gray
+    g = _gradient(16, 24)
+    payload = encode_jpeg_gray(g, qtable=ONES)
+    assert (decode_jpeg(payload) == decode_jpeg_gray(payload)).all()
+    assert decode_jpeg(payload).shape == (16, 24, 1)
+
+
+def test_color_feature_extractor():
+    """jpeg_feature_extractor handles color payloads (BT.601 luma)."""
+    img = np.full((16, 16, 3), 0, dtype=np.uint8)
+    img[:, :, 0] = 255  # pure red: luma ≈ 76
+    f = jpeg_feature_extractor(8)(encode_jpeg_color(img, sampling=(2, 2),
+                                                    luma_q=ONES, chroma_q=ONES))
+    assert f.shape == (8,) and abs(float(f.sum()) - 1.0) < 1e-6
+    assert int(np.argmax(f)) == 76 * 8 // 256
 
 
 def test_byte_stuffing_roundtrip():
