@@ -603,3 +603,260 @@ def lazo_containment_est(spark, sf_dir):
         [(round(est, 4), round(exact, 4), cl, cr)],
         "est_containment double, exact_containment double, card_l long, card_r long",
     )
+
+
+# --- connected-component dedup clustering (iterative; recursive-CTE oracle) ---
+
+
+def _lsh_edges(spark, sf_dir):
+    """Banded-LSH candidate pairs over the doc_id<600 slice with
+    AND-amplification r=2 (two permutation minima must BOTH collide
+    within a band) — a single-minimum band links near-everything on
+    this corpus (one shared rare term suffices) and the component
+    structure degenerates to one blob; r=2 makes edges mean real
+    similarity, so the clustering below has structure to find.
+    Signatures run over word 3-gram SHINGLES, not unigrams — unigram
+    minima collide corpus-wide on a shared vocabulary."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
+    arr = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").alias("toks"),
+    ).where(F.size("toks") >= 3)
+    tok = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("term"),
+    ).dropDuplicates(["doc_id", "term"])
+    sig = (
+        tok.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.min(
+                _h_spark(
+                    F.concat(F.lit("a"), F.col("band").cast("string"),
+                             F.lit(":"), F.col("term"))
+                )
+            ).alias("h1"),
+            F.min(
+                _h_spark(
+                    F.concat(F.lit("b"), F.col("band").cast("string"),
+                             F.lit(":"), F.col("term"))
+                )
+            ).alias("h2"),
+        )
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE
+arr AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 600),
+sh AS (SELECT doc_id,
+              unnest(list_transform(range(len(toks) - 2),
+                                    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS term
+       FROM arr WHERE len(toks) >= 3),
+td AS (SELECT DISTINCT doc_id, term FROM sh),
+sig AS (SELECT doc_id, b.band,
+               min({_H_SQL.format(x="'a' || band::varchar || ':' || term")}) AS h1,
+               min({_H_SQL.format(x="'b' || band::varchar || ':' || term")}) AS h2
+        FROM td CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+        GROUP BY doc_id, b.band),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sig a JOIN sig b
+            ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+           AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, root) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(root) AS cluster FROM reach GROUP BY node)
+SELECT cluster, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM comp GROUP BY cluster ORDER BY cluster
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the banded-LSH
+    candidate graph, by iterative min-label propagation — labels
+    converge in <= diameter rounds; the driver sees one count per round
+    (a convergence probe), never row-scale data.  The oracle computes
+    the same components with a recursive CTE (min reachable id ==
+    min-label fixpoint on an undirected graph), so the gate covers the
+    whole iterative plan.  At 10^9 docs the same loop runs with the
+    label frame checkpointed per round (plan-growth control) and the
+    alternating large-star/small-star optimization cuts rounds to
+    O(log d) — the propagation step stays this exact equi-join."""
+    edges = _lsh_edges(spark, sf_dir)
+    fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    e = fwd.unionAll(rev)
+    labels = (
+        e.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("cluster", F.col("doc_id"))
+    )
+    labels = labels.localCheckpoint(eager=True)  # bound plan growth per round
+    e = e.localCheckpoint(eager=True)            # edges reused every round
+    prev_sum = None
+    for _ in range(32):  # diameter bound; slice graphs converge in a few
+        prop = (
+            e.join(labels, e["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "cluster")
+        )
+        labels = (
+            labels.unionAll(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("cluster")).collect()[0][0]  # 1-row probe
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return (
+        labels.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# --- composed corpus curation (the end-to-end training-data filter) -----------
+
+_MIN_TOKENS = 30
+_MIN_QUALITY = 0.5
+
+
+@register(
+    "corpus_curation",
+    f"""
+WITH h AS (SELECT doc_id, lang, md5(text) AS th,
+                  list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+           FROM documents),
+keepers AS (SELECT th, min(doc_id) AS keep_id FROM h GROUP BY th),
+m AS (SELECT doc_id, lang,
+             len(toks) AS n,
+             len(list_filter(toks, x -> list_contains([{_STOP}], x))) AS nstop,
+             (doc_id <> k.keep_id) AS is_dup
+      FROM h JOIN keepers k USING (th)),
+decided AS (SELECT lang, n,
+                   CASE WHEN is_dup THEN 'duplicate'
+                        WHEN n < {_MIN_TOKENS} THEN 'too_short'
+                        WHEN least(1.0, n / 100.0) * (1.0 - nstop * 1.0 / n)
+                             < {_MIN_QUALITY} THEN 'low_quality'
+                        ELSE 'kept' END AS reason
+            FROM m)
+SELECT lang, reason, count(*) AS n_docs, sum(n)::bigint AS n_tokens
+FROM decided GROUP BY lang, reason ORDER BY lang, reason
+""",
+)
+def corpus_curation(spark, sf_dir):
+    """The composed training-data curation filter over the FULL corpus:
+    exact-dup drop (md5 keeper groups) -> minimum length -> quality
+    threshold, first failing rule wins; reports per-(lang, reason) doc
+    and token counts — the accounting a data-mixing run starts from.
+    One hash-groupBy + one broadcast-joinable keeper map + narrow array
+    expressions: two shuffles total at any corpus size, no Python in
+    the loop."""
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "lang", F.md5("text").alias("th"),
+        F.expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").alias("toks"),
+    )
+    keepers = h.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
+    m = h.join(keepers, "th").select(
+        "lang",
+        F.size("toks").alias("n"),
+        F.expr(f"size(filter(toks, x -> array_contains(array({_STOP}), x)))").alias("nstop"),
+        (F.col("doc_id") != F.col("keep_id")).alias("is_dup"),
+    )
+    decided = m.select(
+        "lang", "n",
+        F.expr(
+            f"CASE WHEN is_dup THEN 'duplicate' "
+            f"WHEN n < {_MIN_TOKENS} THEN 'too_short' "
+            f"WHEN least(1.0d, n / 100.0d) * (1.0d - nstop * 1.0d / n)"
+            f" < {_MIN_QUALITY} THEN 'low_quality' "
+            f"ELSE 'kept' END"
+        ).alias("reason"),
+    )
+    return (
+        decided.groupBy("lang", "reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang", "reason")
+    )
+
+
+# --- deterministic stratified sampling (data-mixing rates per language) -------
+
+#: per-mille keep rates by lang — a typical mixing recipe shape
+_MIX_RATES = {"en": 500, "de": 250, "fr": 100}
+_MIX_DEFAULT = 50
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lg}' THEN {r}" for lg, r in _MIX_RATES.items()
+    )
+    return f"CASE {whens} ELSE {_MIX_DEFAULT} END"
+
+
+@register(
+    "sample_stratified",
+    f"""
+WITH s AS (SELECT lang, doc_id,
+                  ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 1000 AS slot
+           FROM documents)
+SELECT lang, count(*) AS n_sampled, sum(doc_id)::bigint AS id_checksum
+FROM s WHERE slot < ({_rate_case_sql()})
+GROUP BY lang ORDER BY lang
+""",
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic per-language stratified sampling — the data-mixing
+    primitive: keep a doc iff hash(doc_id) mod 1000 falls under its
+    language's per-mille rate.  Hash-based (not rand()) so the sample
+    is reproducible across runs, engines and partitionings; a narrow
+    scan + filter, no shuffle before the per-lang count."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "lang", "doc_id",
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+         .cast("long") % 1000).alias("slot"),
+    )
+    rate = F.expr(_rate_case_sql())
+    return (
+        s.where(F.col("slot") < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )

@@ -127,6 +127,21 @@ def test_dedup_pipeline_plan_no_allpairs(spark):
 @pytest.mark.skipif(
     not __import__("os").path.isdir(_SF001), reason="driver testdata absent"
 )
+def test_cluster_edges_and_curation_plans(spark):
+    """The clustering edge join is equi on (band, h1, h2) and the
+    curation keeper join is equi on the text hash — neither may plan a
+    nested-loop/cartesian product."""
+    from datamart_spark.suite.textfns import _lsh_edges, corpus_curation
+
+    for df in (_lsh_edges(spark, _SF001), corpus_curation(spark, _SF001)):
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_SF001), reason="driver testdata absent"
+)
 def test_ann_bucket_probe_partition_pruned(spark):
     """VERDICT r3 #9: the bucket-partitioned ANN probe must prune to the
     query bucket's partition files — PartitionFilters on the scan, i.e.
