@@ -10,7 +10,7 @@ bytes; the reference itself never decodes pixels — this exceeds it).
 Decoder (`decode_jpeg`): baseline sequential DCT (SOF0), 8-bit, single
 interleaved scan; 1 component → grayscale, 3 components → YCbCr→RGB
 with any integer sampling (4:4:4 / 4:2:2 / 4:2:0).  Everything else —
-progressive (SOF2), arithmetic coding, restart intervals, CMYK —
+progressive (SOF2), arithmetic coding, CMYK —
 raises ``JpegError`` with the exact reason: the codec boundary stays
 explicit, it just moved (again).
 
@@ -106,34 +106,56 @@ def _build_huff(bits: list[int], vals: list[int]) -> dict:
 
 class _BitReader:
     """MSB-first entropy-data reader with 0xFF00 byte-unstuffing; a real
-    marker ends the data (trailing reads pad with zeros, per T.81 the
-    final EOB never needs them)."""
+    marker stops consumption (trailing reads pad with zeros, per T.81
+    the final EOB never needs them).  ``restart()`` consumes an RSTn
+    marker at the stop point and resumes — the DRI path."""
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.bitbuf = 0
         self.nbits = 0
+        self.stopped = False
 
     def _fill(self) -> None:
         while self.nbits <= 24:
-            if self.pos >= len(self.data):
+            if self.stopped or self.pos >= len(self.data):
                 self.bitbuf <<= 8
                 self.nbits += 8
                 continue
             b = self.data[self.pos]
-            self.pos += 1
             if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed 0xFF data byte
-                else:  # marker — stop consuming, pad with zeros
-                    self.pos = len(self.data)
-                    self.bitbuf <<= 8
-                    self.nbits += 8
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data) else 0
+                )
+                if nxt != 0x00:  # marker — stop consuming (pos stays on it)
+                    self.stopped = True
                     continue
+                self.pos += 1  # stuffed 0xFF data byte
+            self.pos += 1
             self.bitbuf = (self.bitbuf << 8) | b
             self.nbits += 8
+
+    def restart(self) -> None:
+        """Byte-align at an expected RSTn marker, consume it, resume
+        (T.81 E.2.4: entropy coding re-initializes per interval)."""
+        self.bitbuf = 0
+        self.nbits = 0
+        # skip any not-yet-prefetched padding bytes up to the marker
+        # (stuffed FF00 pairs advance byte-by-byte and are never
+        # mistaken for a marker)
+        while self.pos + 1 < len(self.data) and not (
+            self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00
+        ):
+            self.pos += 1
+        if (
+            self.pos + 1 >= len(self.data)
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise JpegError("expected restart marker in entropy data")
+        self.pos += 2
+        self.stopped = False
 
     def get(self, n: int) -> int:
         if n == 0:
@@ -194,14 +216,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     to RGB (channels=3), any integer sampling ratio (4:4:4, 4:2:2,
     4:2:0, ...) via the interleaved-MCU scan of T.81 A.2.3.  Chroma is
     upsampled by sample replication (the JFIF baseline).  Progressive,
-    arithmetic coding, 12-bit, restart intervals and 4-component CMYK
-    still raise ``JpegError`` with the exact reason."""
+    arithmetic coding, 12-bit and 4-component CMYK still raise
+    ``JpegError`` with the exact reason; restart intervals (DRI + RSTn
+    resync, T.81 E.2.4) are honored."""
     if not payload or payload[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     h = w = scan_start = None
+    restart_interval = 0
     comps: list[dict] = []  # SOF order: {id, hs, vs, tq, dc, ac}
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -251,8 +275,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 n = sum(bits)
                 htables[(tc, th)] = _build_huff(bits, list(data[i + 17:i + 17 + n]))
                 i += 17 + n
-        elif marker == 0xDD:
-            raise JpegError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", data[:2])[0]
         elif marker == 0xDA:  # SOS
             if data[0] != len(comps):
                 raise JpegError("single interleaved scan only")
@@ -288,8 +312,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8)) for c in comps
     ]
     preds = [0] * len(comps)
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                br.restart()
+                preds = [0] * len(comps)
+            mcu_i += 1
             for ci, c in enumerate(comps):
                 for byi in range(c["vs"]):
                     for bxi in range(c["hs"]):
@@ -368,6 +397,13 @@ def _inv_huff(bits: list[int], vals: list[int]) -> dict:
     return enc
 
 
+def _emit_restart(bw: "_BitWriter", idx: int) -> None:
+    """1-pad to the byte boundary, then write RST(idx mod 8) raw (a
+    marker is never byte-stuffed)."""
+    bw.flush()
+    bw.buf.extend(bytes([0xFF, 0xD0 + (idx % 8)]))
+
+
 def _size_cat(v: int) -> int:
     mag = abs(v)
     s = 0
@@ -377,9 +413,15 @@ def _size_cat(v: int) -> int:
     return s
 
 
-def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+def encode_jpeg_gray(
+    img: np.ndarray,
+    qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
     """(h, w[, 1]) uint8 → baseline grayscale JPEG bytes (Annex K
-    tables; pass ``qtable=np.ones((8, 8))`` for a near-lossless (±1) roundtrip)."""
+    tables; pass ``qtable=np.ones((8, 8))`` for a near-lossless (±1)
+    roundtrip).  ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that many MCUs (decoder resync test vectors)."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 3:
         img = img[:, :, 0]
@@ -395,8 +437,13 @@ def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray | None = None) -> bytes
 
     bw = _BitWriter()
     pred = 0
+    mcu_i = 0
     for byi in range(by):
         for bxi in range(bx):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                _emit_restart(bw, mcu_i // restart_interval - 1)
+                pred = 0
+            mcu_i += 1
             pred = _encode_block(
                 bw, pad[byi * 8:(byi + 1) * 8, bxi * 8:(bxi + 1) * 8] - 128.0,
                 q, dc_enc, ac_enc, pred,
@@ -409,6 +456,8 @@ def encode_jpeg_gray(img: np.ndarray, qtable: np.ndarray | None = None) -> bytes
         out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body)
 
     seg(0xDB, bytes([0x00]) + bytes(int(x) & 0xFF for x in qz))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
     seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
     seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
@@ -488,6 +537,7 @@ def encode_jpeg_color(
     sampling: tuple[int, int] = (2, 2),
     luma_q: np.ndarray | None = None,
     chroma_q: np.ndarray | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB → baseline sequential YCbCr JPEG bytes.
 
@@ -538,8 +588,13 @@ def encode_jpeg_color(
     ]
     bw = _BitWriter()
     preds = [0, 0, 0]
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                _emit_restart(bw, mcu_i // restart_interval - 1)
+                preds = [0, 0, 0]
+            mcu_i += 1
             for ci, (plane, chs, cvs, q, de, ae) in enumerate(spec):
                 for byi in range(cvs):
                     for bxi in range(chs):
@@ -558,6 +613,8 @@ def encode_jpeg_color(
 
     seg(0xDB, bytes([0x00]) + bytes(int(x) & 0xFF for x in ql.reshape(64)[_ZIGZAG]))
     seg(0xDB, bytes([0x01]) + bytes(int(x) & 0xFF for x in qc.reshape(64)[_ZIGZAG]))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes(
         [3, 1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]
     ))

@@ -123,6 +123,37 @@ def test_color_deterministic_and_gray_unchanged():
     assert decode_jpeg(payload).shape == (16, 24, 1)
 
 
+def test_restart_intervals_roundtrip():
+    """DRI + RSTn: per-interval predictor reset and byte-aligned resync
+    (T.81 E.2.4) must decode identically to the unrestarted stream."""
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (37, 29), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_gray(g, qtable=ONES))
+    for ri in (1, 2, 3, 7):
+        p = encode_jpeg_gray(g, qtable=ONES, restart_interval=ri)
+        n_rst = sum(
+            1 for i in range(len(p) - 1)
+            if p[i] == 0xFF and 0xD0 <= p[i + 1] <= 0xD7
+        )
+        assert n_rst == (20 - 1) // ri  # 5x4 MCUs minus the first interval
+        assert (decode_jpeg(p) == base).all()
+    img = rng.integers(0, 256, (33, 25, 3), dtype=np.uint8)
+    for samp in ((1, 1), (2, 2)):
+        no_ri = decode_jpeg(encode_jpeg_color(img, sampling=samp,
+                                              luma_q=ONES, chroma_q=ONES))
+        with_ri = decode_jpeg(encode_jpeg_color(
+            img, sampling=samp, luma_q=ONES, chroma_q=ONES, restart_interval=2
+        ))
+        assert (no_ri == with_ri).all()
+    # a missing RST where DRI promises one is a clean error
+    p = bytearray(encode_jpeg_gray(g, qtable=ONES, restart_interval=2))
+    i = next(i for i in range(len(p) - 1)
+             if p[i] == 0xFF and 0xD0 <= p[i + 1] <= 0xD7)
+    del p[i:i + 2]
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(p))
+
+
 def test_color_feature_extractor():
     """jpeg_feature_extractor handles color payloads (BT.601 luma)."""
     img = np.full((16, 16, 3), 0, dtype=np.uint8)
