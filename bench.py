@@ -73,6 +73,8 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "dedup_pipeline",
+    "dedup_clusters",
+    "corpus_curation",
     "groupby_flag_status",
     "join_left_agg",
     "cosine_topk",
