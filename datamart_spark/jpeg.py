@@ -7,18 +7,23 @@ stub boundary for sequential-baseline payloads, making
 (reference scope: the engine's multimodal columns carry crawled image
 bytes; the reference itself never decodes pixels — this exceeds it).
 
-Decoder (`decode_jpeg`): baseline sequential DCT (SOF0), 8-bit, single
-interleaved scan; 1 component → grayscale, 3 components → YCbCr→RGB
-with any integer sampling (4:4:4 / 4:2:2 / 4:2:0).  Everything else —
-progressive (SOF2), arithmetic coding, CMYK —
-raises ``JpegError`` with the exact reason: the codec boundary stays
-explicit, it just moved (again).
+Decoder (`decode_jpeg`): baseline sequential DCT (SOF0) AND
+progressive (SOF2, full annex G: spectral selection + successive
+approximation, DC/AC first and refinement scans, EOB runs), 8-bit;
+1 component → grayscale, 3 components → YCbCr→RGB with any integer
+sampling (4:4:4 / 4:2:2 / 4:2:0); restart intervals in both
+processes.  Everything else — arithmetic coding, hierarchical,
+lossless, CMYK — raises ``JpegError`` with the exact reason: the
+codec boundary stays explicit, it just moved (again).
 
-Encoders (`encode_jpeg_gray`, `encode_jpeg_color`): same subset,
-standard Annex K quantization + Huffman tables (overridable) — used by
-tests and the synthetic multimodal corpus; all-ones quantization
-roundtrips within ±1 grey level for grayscale and a few levels for
-color (YCbCr + DCT rounding; asserted in tests/test_jpeg.py).
+Encoders (`encode_jpeg_gray`, `encode_jpeg_color`,
+`encode_jpeg_progressive`): same subset, standard Annex K quantization
++ Huffman tables (overridable; progressive AC scans use a generic
+all-symbols table since Annex K lacks EOBn codes) — used by tests and
+the synthetic multimodal corpus; all-ones quantization roundtrips
+within ±1 grey level for grayscale, and a progressive encoding decodes
+BIT-IDENTICALLY to the baseline encoding at the same quantization
+(same coefficients, different transport; asserted in tests).
 
 Deterministic pure functions of the bytes (per-row invariance like
 extract_text).  numpy does the 8×8 DCT as two matrix products.
@@ -84,9 +89,10 @@ _C = np.array([
     for k in range(8)
 ])
 
-# progressive/extended/lossless/arithmetic SOF markers → explicit error
+# extended/lossless/arithmetic SOF markers → explicit error
+# (0xC0 baseline and 0xC2 progressive are the supported processes)
 _UNSUPPORTED_SOF = frozenset(
-    [0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+    [0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
 )
 
 
@@ -209,16 +215,209 @@ def _decode_block(br: _BitReader, dc_t: dict, ac_t: dict, q: np.ndarray,
     return _C.T @ block.reshape(8, 8) @ _C + 128.0, pred
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential JPEG bytes → (height, width, channels) uint8.
+# --- progressive (SOF2) scan decoding, T.81 annex G ---------------------------
 
-    1 component → grayscale (channels=1); 3 components → YCbCr decoded
-    to RGB (channels=3), any integer sampling ratio (4:4:4, 4:2:2,
-    4:2:0, ...) via the interleaved-MCU scan of T.81 A.2.3.  Chroma is
-    upsampled by sample replication (the JFIF baseline).  Progressive,
-    arithmetic coding, 12-bit and 4-component CMYK still raise
-    ``JpegError`` with the exact reason; restart intervals (DRI + RSTn
-    resync, T.81 E.2.4) are honored."""
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index just past a scan's entropy data: the next marker that is
+    neither a stuffed 0xFF00 nor an RSTn."""
+    i = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF and payload[i + 1] != 0x00:
+            if 0xD0 <= payload[i + 1] <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _dc_first_block(br, dc_t, co, al, pred):
+    t = br.decode_huff(dc_t)
+    pred += _extend(br.get(t), t)
+    co[0] = pred << al
+    return pred
+
+
+def _ac_first_block(br, ac_t, co, ss, se, al, eobrun):
+    """T.81 G.1.2.2 / G.2: first AC scan of a band with EOB runs."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode_huff(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.get(r)
+            break
+        k += r
+        if k > se:
+            raise JpegError("AC coefficient index overflow in scan band")
+        co[k] = _extend(br.get(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, ac_t, co, ss, se, al, eobrun):
+    """T.81 G.1.2.3: successive-approximation AC refinement — new ±1
+    coefficients at this bit position plus correction bits for every
+    already-nonzero coefficient passed over."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode_huff(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    # EOB run INCLUDES the current block, whose remaining
+                    # positions still need their correction bits (the
+                    # `if eobrun` phase below) — unlike first scans,
+                    # where the current block simply ends (libjpeg:
+                    # EOBRUN = 1<<r, decremented after the tail pass)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.get(r)
+                    break  # rest of the band is EOB-refinement below
+                val = 0  # ZRL: run of 16 zero-history positions
+            else:
+                if s != 1:
+                    raise JpegError("invalid AC refinement magnitude")
+                val = p1 if br.get(1) else m1
+            while k <= se:
+                if co[k] != 0:
+                    if br.get(1) and (co[k] & p1) == 0:
+                        co[k] += p1 if co[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                co[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if co[k] != 0:
+                if br.get(1) and (co[k] & p1) == 0:
+                    co[k] += p1 if co[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(br, scan, coefs, htables, restart_interval):
+    """One progressive scan over its block geometry.  ``scan`` carries
+    (comps, ss, se, ah, al); DC scans may interleave several
+    components, AC scans are single-component (T.81 G.1.1)."""
+    comps, ss, se, ah, al = scan
+    if ss == 0:  # DC scan (first or refinement), possibly interleaved
+        preds = [0] * len(comps)
+        mcu_i = 0
+        if len(comps) == 1:
+            c = comps[0]
+            grid = [(0, 0, by, bx, c) for by in range(c["nby"])
+                    for bx in range(c["nbx"])]
+            # non-interleaved: one block per MCU
+            for (my, mx, by, bx, c) in grid:
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    br.restart()
+                    preds = [0]
+                mcu_i += 1
+                co = coefs[c["ci"]][by, bx]
+                if ah == 0:
+                    preds[0] = _dc_first_block(
+                        br, htables[(0, c["dc"])], co, al, preds[0]
+                    )
+                elif br.get(1):
+                    co[0] |= 1 << al
+        else:
+            mcux, mcuy = comps[0]["mcux"], comps[0]["mcuy"]
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if (restart_interval and mcu_i
+                            and mcu_i % restart_interval == 0):
+                        br.restart()
+                        preds = [0] * len(comps)
+                    mcu_i += 1
+                    for si, c in enumerate(comps):
+                        for byi in range(c["vs"]):
+                            for bxi in range(c["hs"]):
+                                co = coefs[c["ci"]][
+                                    my * c["vs"] + byi, mx * c["hs"] + bxi
+                                ]
+                                if ah == 0:
+                                    preds[si] = _dc_first_block(
+                                        br, htables[(0, c["dc"])], co, al,
+                                        preds[si],
+                                    )
+                                elif br.get(1):
+                                    co[0] |= 1 << al
+        return
+    if len(comps) != 1:
+        raise JpegError("progressive AC scans must be single-component")
+    c = comps[0]
+    ac_t = htables.get((1, c["ac"]))
+    if ac_t is None:
+        raise JpegError("missing Huffman table for AC scan")
+    eobrun = 0
+    blk_i = 0
+    for by in range(c["nby"]):
+        for bx in range(c["nbx"]):
+            if restart_interval and blk_i and blk_i % restart_interval == 0:
+                br.restart()
+                eobrun = 0
+            blk_i += 1
+            co = coefs[c["ci"]][by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(br, ac_t, co, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, ac_t, co, ss, se, al, eobrun)
+
+
+def _finish_planes(planes, comps, h, w, hmax, vmax):
+    """Crop/upsample decoded component planes and color-convert."""
+    if len(comps) == 1:
+        out = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    # upsample chroma by replication, then JFIF YCbCr -> RGB
+    full = []
+    for ci, c in enumerate(comps):
+        p = np.repeat(
+            np.repeat(planes[ci], vmax // c["vs"], axis=0),
+            hmax // c["hs"], axis=1,
+        )
+        full.append(p[:h, :w])
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG bytes -> (height, width, channels) uint8.
+
+    Baseline sequential (SOF0) AND progressive (SOF2, T.81 annex G:
+    spectral selection + successive approximation, DC/AC first and
+    refinement scans, EOB runs).  1 component -> grayscale
+    (channels=1); 3 components -> YCbCr decoded to RGB (channels=3),
+    any integer sampling ratio (4:4:4, 4:2:2, 4:2:0, ...).  Chroma is
+    upsampled by sample replication (the JFIF baseline); restart
+    intervals (DRI + RSTn resync, T.81 E.2.4) are honored in both
+    processes.  Arithmetic coding, 12-bit and 4-component CMYK still
+    raise ``JpegError`` with the exact reason."""
     if not payload or payload[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG")
     pos = 2
@@ -226,6 +425,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     h = w = scan_start = None
     restart_interval = 0
+    progressive = False
+    coefs = None  # progressive: per-comp (by, bx, 64) zigzag coef grids
+    hmax = vmax = 1
     comps: list[dict] = []  # SOF order: {id, hs, vs, tq, dc, ac}
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -247,10 +449,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 i += 65
         elif marker in _UNSUPPORTED_SOF:
             raise JpegError(
-                f"only baseline sequential (SOF0) supported, got SOF marker "
-                f"0x{marker:02x}"
+                f"only baseline sequential (SOF0) and progressive (SOF2) "
+                f"supported, got SOF marker 0x{marker:02x}"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            progressive = marker == 0xC2
             if data[0] != 8:
                 raise JpegError("8-bit sample precision only")
             h = struct.unpack(">H", data[1:3])[0]
@@ -278,20 +481,95 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", data[:2])[0]
         elif marker == 0xDA:  # SOS
-            if data[0] != len(comps):
-                raise JpegError("single interleaved scan only")
+            if not comps:
+                raise JpegError("SOS before SOF")
+            ns = data[0]
             by_id = {c["id"]: c for c in comps}
-            for i in range(data[0]):
+            if not progressive:
+                if ns != len(comps):
+                    raise JpegError("single interleaved scan only")
+                for i in range(ns):
+                    c = by_id.get(data[1 + 2 * i])
+                    if c is None:
+                        raise JpegError("SOS references unknown component")
+                    c["dc"] = data[2 + 2 * i] >> 4
+                    c["ac"] = data[2 + 2 * i] & 15
+                scan_start = pos + 2 + seg_len
+                break
+            # progressive: lazily set up geometry + coefficient grids
+            if coefs is None:
+                hmax = max(c["hs"] for c in comps)
+                vmax = max(c["vs"] for c in comps)
+                if len(comps) == 1:
+                    comps[0]["hs"] = comps[0]["vs"] = hmax = vmax = 1
+                mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+                for ci, c in enumerate(comps):
+                    if (c["hs"] < 1 or c["vs"] < 1
+                            or hmax % c["hs"] or vmax % c["vs"]):
+                        raise JpegError(
+                            "non-integer chroma sampling ratio unsupported"
+                        )
+                    c["ci"] = ci
+                    c["mcux"], c["mcuy"] = mcux, mcuy
+                    comp_w = -(-w * c["hs"] // hmax)
+                    comp_h = -(-h * c["vs"] // vmax)
+                    c["nbx"], c["nby"] = -(-comp_w // 8), -(-comp_h // 8)
+                coefs = [
+                    np.zeros((mcuy * c["vs"], mcux * c["hs"], 64), np.int32)
+                    for c in comps
+                ]
+            scan_comps = []
+            for i in range(ns):
                 c = by_id.get(data[1 + 2 * i])
                 if c is None:
                     raise JpegError("SOS references unknown component")
                 c["dc"] = data[2 + 2 * i] >> 4
                 c["ac"] = data[2 + 2 * i] & 15
-            scan_start = pos + 2 + seg_len
-            break
+                scan_comps.append(c)
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
+            if ss == 0 and se != 0:
+                raise JpegError("DC scan must have Se=0")
+            start = pos + 2 + seg_len
+            end = _entropy_end(payload, start)
+            if ss == 0 and ah == 0:
+                for c in scan_comps:
+                    if htables.get((0, c["dc"])) is None:
+                        raise JpegError("missing Huffman table for DC scan")
+            _decode_prog_scan(
+                _BitReader(payload[start:end]),
+                (scan_comps, ss, se, ah, al),
+                coefs, dict(htables), restart_interval,
+            )
+            scan_start = start
+            pos = end
+            continue
         pos += 2 + seg_len
+
     if h is None or scan_start is None or not comps:
         raise JpegError("missing SOF0 or SOS")
+
+    if progressive:
+        planes = []
+        for ci, c in enumerate(comps):
+            q = qtables.get(c["tq"])
+            if q is None:
+                raise JpegError("missing Huffman or quantization table")
+            cf = coefs[ci].astype(np.float64)
+            by, bx = cf.shape[:2]
+            nat = np.zeros((by * bx, 64))
+            nat[:, _ZIGZAG] = (cf * q).reshape(-1, 64)
+            # same chained-matmul order as the sequential per-block
+            # path: a different contraction order (einsum) rounds
+            # differently at .5 boundaries and breaks bit-identity
+            blocks = _C.T @ nat.reshape(-1, 8, 8) @ _C + 128.0
+            planes.append(
+                blocks.reshape(by, bx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(by * 8, bx * 8)
+            )
+        return _finish_planes(planes, comps, h, w, hmax, vmax)
+
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     if len(comps) == 1:
@@ -329,26 +607,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         x0 = (mx * c["hs"] + bxi) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
 
-    if len(comps) == 1:
-        out = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
-        return out[:, :, None]
-    # upsample chroma by replication, then JFIF YCbCr → RGB
-    full = []
-    for ci, c in enumerate(comps):
-        p = planes[ci]
-        p = np.repeat(np.repeat(p, vmax // c["vs"], axis=0), hmax // c["hs"], axis=1)
-        full.append(p[:h, :w])
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=2,
-    )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-
+    return _finish_planes(planes, comps, h, w, hmax, vmax)
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     """Baseline grayscale JPEG bytes → (height, width, 1) uint8.
@@ -644,3 +903,244 @@ def jpeg_feature_extractor(dim: int = 16):
         return (hist / luma.size).astype(np.float32)
 
     return fn
+
+
+# --- progressive encoder (test vectors for every annex-G scan type) -----------
+
+#: generic AC Huffman spec for progressive scans: all 256 rs symbols
+#: (Annex K tables lack the EOBn symbols progressive scans emit);
+#: canonical, 255 codes of length 9 + 1 of length 10 — never all-ones
+_AC_P_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_AC_P_VALS = list(range(256))
+
+
+class _ProgWriter:
+    """Scan-scoped progressive entropy writer: wraps _BitWriter with the
+    EOB-run counter and the buffered correction bits that AC refinement
+    scans carry ACROSS blocks (T.81 G.1.2.2-3 / libjpeg BE buffer)."""
+
+    def __init__(self):
+        self.bw = _BitWriter()
+        self.ac_enc = _inv_huff(_AC_P_BITS, _AC_P_VALS)
+        self.dc_enc = _inv_huff(DC_BITS, DC_VALS)
+        self.eobrun = 0
+        self.bits: list[int] = []  # buffered correction bits
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            e = self.eobrun.bit_length() - 1
+            self.bw.put(*self.ac_enc[e << 4])
+            if e:
+                self.bw.put(self.eobrun - (1 << e), e)
+            self.eobrun = 0
+        for b in self.bits:
+            self.bw.put(b, 1)
+        self.bits = []
+
+    def finish_scan(self) -> bytes:
+        self.emit_eobrun()
+        self.bw.flush()
+        return bytes(self.bw.buf)
+
+
+def _enc_dc_first(pw, coefs_dc, al):
+    """DC first scan over blocks in order; DC point transform is an
+    ARITHMETIC shift (G.1.2.1)."""
+    pred = 0
+    for v in coefs_dc:
+        d = (int(v) >> al) - pred
+        pred = int(v) >> al
+        s = _size_cat(d)
+        pw.bw.put(*pw.dc_enc[s])
+        if s:
+            pw.bw.put(d if d >= 0 else d + (1 << s) - 1, s)
+
+
+def _enc_dc_refine(pw, coefs_dc, al):
+    for v in coefs_dc:
+        pw.bw.put((int(v) >> al) & 1, 1)
+
+
+def _enc_ac_first(pw, blocks, ss, se, al):
+    """AC first scan of a band: magnitude (toward-zero) point transform,
+    zero runs batched into EOB runs across blocks."""
+    for co in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(co[k])
+            t = (abs(v) >> al)
+            if t == 0:
+                r += 1
+                continue
+            pw.emit_eobrun()
+            while r > 15:
+                pw.bw.put(*pw.ac_enc[0xF0])
+                r -= 16
+            s = _size_cat(t)
+            vv = t if v >= 0 else -t
+            pw.bw.put(*pw.ac_enc[(r << 4) | s])
+            pw.bw.put(vv if vv >= 0 else vv + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            pw.eobrun += 1
+            if pw.eobrun == 0x7FFF:
+                pw.emit_eobrun()
+
+
+def _enc_ac_refine(pw, blocks, ss, se, al):
+    """AC refinement scan (G.1.2.3): ±1 for newly-significant
+    coefficients at this bit, correction bits for already-sent ones."""
+    for co in blocks:
+        absv = [abs(int(co[k])) >> al for k in range(ss, se + 1)]
+        eob_i = -1  # band index of the LAST newly-significant coefficient
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob_i = i
+        r = 0
+        pending: list[int] = []  # correction bits since the last symbol
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs are emitted at ANY nonzero position (libjpeg
+            # encode_mcu_AC_refine): deferring them past a
+            # history-nonzero coefficient would attach its correction
+            # bit to the wrong 16-zero window and desync the decoder.
+            # Runs beyond the last new coefficient fold into the EOB run.
+            while r > 15 and i <= eob_i:
+                pw.emit_eobrun()
+                pw.bw.put(*pw.ac_enc[0xF0])
+                r -= 16
+                for b in pending:
+                    pw.bw.put(b, 1)
+                pending = []
+            if t > 1:  # history-nonzero: buffer its correction bit
+                pending.append(t & 1)
+                continue
+            # newly significant (t == 1)
+            pw.emit_eobrun()
+            pw.bw.put(*pw.ac_enc[(r << 4) | 1])
+            pw.bw.put(1 if int(co[ss + i]) >= 0 else 0, 1)
+            for b in pending:
+                pw.bw.put(b, 1)
+            pending = []
+            r = 0
+        if r > 0 or pending:
+            pw.eobrun += 1
+            pw.bits.extend(pending)
+            if pw.eobrun == 0x7FFF or len(pw.bits) > 900:
+                pw.emit_eobrun()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    qtable: np.ndarray | None = None,
+) -> bytes:
+    """(h, w[, 1|3]) uint8 → progressive (SOF2) JPEG bytes exercising
+    every annex-G scan type: DC first with point transform (Al=1), DC
+    refinement, per-band AC first scans (Al=1) and AC refinement scans
+    (Ah=1→Al=0) with cross-block EOB runs.  Color images are encoded
+    4:4:4 with per-component (non-interleaved) scans; the decoded
+    result is IDENTICAL to the baseline encoding at the same
+    quantization (same coefficients, different transport)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2 or img.shape[2] == 1
+    q = STD_LUMA_Q if qtable is None else np.asarray(qtable, dtype=np.int32)
+    qz = q.reshape(64)[_ZIGZAG]
+
+    if gray:
+        planes = [img[:, :, 0] if img.ndim == 3 else img]
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        # float planes, NO rounding — exactly encode_jpeg_color's
+        # conversion, so the quantized coefficients (and hence the
+        # decoded pixels) are identical to the baseline encoding
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    h, w = planes[0].shape
+
+    # quantized zigzag coefficients per component
+    comp_coefs = []
+    for p in planes:
+        by, bx = -(-h // 8), -(-w // 8)
+        pad = np.pad(np.asarray(p, dtype=np.float64),
+                     ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge") - 128.0
+        blocks = (
+            pad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        # chained matmul, NOT einsum: einsum's contraction order differs
+        # in float and occasionally rounds a quantized coefficient one
+        # step away from the baseline encoder's, breaking bit-identity
+        fd = _C @ blocks @ _C.T
+        qc = np.round(fd.reshape(-1, 8, 8) / q).reshape(-1, 64).astype(np.int32)
+        comp_coefs.append(qc[:, _ZIGZAG])  # natural -> zigzag order
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    n = len(comp_coefs)
+    seg(0xDB, bytes([0x00]) + bytes(int(x) & 0xFF for x in qz))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([n])
+    for ci in range(n):
+        sof += bytes([ci + 1, 0x11, 0])
+    seg(0xC2, sof)
+    seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    seg(0xC4, bytes([0x10]) + bytes(_AC_P_BITS) + bytes(_AC_P_VALS))
+
+    def sos(comp_ids, ss, se, ah, al, body_bytes):
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00 if ss == 0 else 0x10])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, hdr)
+        out.extend(body_bytes)
+
+    # scan script: DC first (Al=1, interleaved over all components),
+    # then per component: AC 1..5 first, AC 6..63 first (Al=1);
+    # DC refinement; per component: AC refinements down to Al=0
+    pw = _ProgWriter()
+    if n == 1:
+        _enc_dc_first(pw, comp_coefs[0][:, 0], 1)
+    else:  # interleaved DC scan (all 1x1 ⇒ MCU = one block per comp)
+        preds = [0] * n
+        for bi in range(comp_coefs[0].shape[0]):
+            for ci in range(n):
+                v = int(comp_coefs[ci][bi, 0]) >> 1
+                d = v - preds[ci]
+                preds[ci] = v
+                s = _size_cat(d)
+                pw.bw.put(*pw.dc_enc[s])
+                if s:
+                    pw.bw.put(d if d >= 0 else d + (1 << s) - 1, s)
+    sos(list(range(1, n + 1)), 0, 0, 0, 1, pw.finish_scan())
+
+    for ci in range(n):
+        for (ss, se) in ((1, 5), (6, 63)):
+            pw = _ProgWriter()
+            _enc_ac_first(pw, comp_coefs[ci], ss, se, 1)
+            sos([ci + 1], ss, se, 0, 1, pw.finish_scan())
+
+    pw = _ProgWriter()
+    if n == 1:
+        _enc_dc_refine(pw, comp_coefs[0][:, 0], 0)
+    else:
+        for bi in range(comp_coefs[0].shape[0]):
+            for ci in range(n):
+                pw.bw.put(int(comp_coefs[ci][bi, 0]) & 1, 1)
+    sos(list(range(1, n + 1)), 0, 0, 1, 0, pw.finish_scan())
+
+    for ci in range(n):
+        for (ss, se) in ((1, 5), (6, 63)):
+            pw = _ProgWriter()
+            _enc_ac_refine(pw, comp_coefs[ci], ss, se, 0)
+            sos([ci + 1], ss, se, 1, 0, pw.finish_scan())
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)

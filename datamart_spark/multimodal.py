@@ -10,10 +10,10 @@ The codec boundary is explicit: ``decode_image_meta`` parses real PNG /
 JPEG / GIF headers (pure-Python, deterministic — enough for sizing and
 filtering pipelines); ``extract_image_features`` needs a pixel decoder.
 Two are REAL and in-repo: PNG (``png.decode_png`` — stdlib zlib + numpy
-unfiltering) and baseline grayscale JPEG (``jpeg.decode_jpeg_gray`` —
-pure-Python T.81 Huffman + numpy IDCT).  Color/progressive JPEG and
-video remain the documented stub: pass ``extractor`` or get
-``NotImplementedError`` at plan-build time.
+unfiltering) and JPEG (``jpeg.decode_jpeg`` — pure-Python T.81 Huffman
++ numpy IDCT; baseline AND progressive, grayscale and YCbCr color,
+restart intervals).  Video remains the documented stub: pass
+``extractor`` or get ``NotImplementedError`` at plan-build time.
 
 Scale: payload columns are the heavy bytes — keep them OUT of shuffles.
 All kernels here are narrow (mapInPandas, no exchange); pipelines
@@ -104,18 +104,18 @@ def extract_image_features(
 ) -> DataFrame:
     """Pixel-level feature extraction.  In-repo real decoders:
     ``png.png_feature_extractor(dim)`` for PNG and
-    ``jpeg.jpeg_feature_extractor(dim)`` for baseline JPEG (grayscale
-    and YCbCr color, any integer subsampling).  The remaining codecs
-    (progressive JPEG, video) need a library this container lacks —
+    ``jpeg.jpeg_feature_extractor(dim)`` for JPEG — baseline AND
+    progressive, grayscale and YCbCr color, any integer subsampling.
+    The remaining codecs (video) need a library this container lacks —
     pass ``extractor`` or this raises at plan-build time, not inside
     executors."""
     if extractor is None:
         raise NotImplementedError(
             "pass `extractor` (bytes -> np.ndarray[dim]): "
             "png.png_feature_extractor(dim) for PNG or "
-            "jpeg.jpeg_feature_extractor(dim) for baseline JPEG — "
-            "grayscale + YCbCr color (both in-repo, real); a PIL/ffmpeg-"
-            "based one in production for progressive JPEG and video"
+            "jpeg.jpeg_feature_extractor(dim) for JPEG (baseline + "
+            "progressive, grayscale + YCbCr color; both in-repo, real); "
+            "an ffmpeg-based one in production for video"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

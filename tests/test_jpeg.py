@@ -58,9 +58,9 @@ def test_deterministic():
 def test_unsupported_variants_raise_cleanly():
     with pytest.raises(JpegError, match="not a JPEG"):
         decode_jpeg_gray(b"\x89PNG")
-    # progressive (SOF2)
-    with pytest.raises(JpegError, match="baseline"):
-        decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x0b" + b"\x00" * 9)
+    # arithmetic-coded (SOF9)
+    with pytest.raises(JpegError, match="SOF marker 0xc9"):
+        decode_jpeg_gray(b"\xff\xd8\xff\xc9\x00\x0b" + b"\x00" * 9)
     # a real color payload through the grayscale-contract decoder
     img = np.full((8, 8, 3), 40, dtype=np.uint8)
     with pytest.raises(JpegError, match="grayscale"):
@@ -152,6 +152,65 @@ def test_restart_intervals_roundtrip():
     del p[i:i + 2]
     with pytest.raises(JpegError):
         decode_jpeg(bytes(p))
+
+
+def test_progressive_identical_to_baseline():
+    """SOF2 progressive transport (annex G: DC point transform +
+    refinement, per-band AC first + refinement scans, EOB runs) must
+    decode to EXACTLY the pixels of the baseline encoding at the same
+    quantization — same coefficients, different transport."""
+    from datamart_spark.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(9)
+    for shape in ((24, 24), (37, 29), (8, 8), (5, 3)):
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_gray(g, qtable=ONES))
+        prog = decode_jpeg(encode_jpeg_progressive(g, qtable=ONES))
+        assert prog.shape == (*shape, 1)
+        assert (base == prog).all(), shape
+    # standard table (many zero coefficients → heavy EOB-run pressure)
+    g = rng.integers(0, 256, (48, 40), dtype=np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_gray(g))
+        == decode_jpeg(encode_jpeg_progressive(g))
+    ).all()
+    # color 4:4:4: per-component non-interleaved scans
+    img = rng.integers(0, 256, (25, 19, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_color(img, sampling=(1, 1),
+                                         luma_q=ONES, chroma_q=ONES))
+    prog = decode_jpeg(encode_jpeg_progressive(img, qtable=ONES))
+    assert prog.shape == img.shape and (base == prog).all()
+    # flat image: maximal EOB-run batching across blocks
+    flat = np.zeros((40, 40, 3), np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_color(flat, sampling=(1, 1),
+                                      luma_q=ONES, chroma_q=ONES))
+        == decode_jpeg(encode_jpeg_progressive(flat, qtable=ONES))
+    ).all()
+    # standard-table color (one qtable for all components on both sides)
+    yy, xx = np.mgrid[0:32, 0:48]
+    img3 = np.stack(
+        [(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_color(img3, sampling=(1, 1),
+                                      chroma_q=STD_LUMA_Q))
+        == decode_jpeg(encode_jpeg_progressive(img3))
+    ).all()
+
+
+def test_progressive_feature_extractor_and_meta():
+    """A progressive payload flows through the same multimodal surface:
+    header sniff reports SOF2 dimensions, extractor decodes pixels."""
+    from datamart_spark.jpeg import encode_jpeg_progressive
+    from datamart_spark.multimodal import sniff_image
+
+    img = np.full((16, 16), 97, dtype=np.uint8)
+    p = encode_jpeg_progressive(img, qtable=ONES)
+    assert sniff_image(p) == ("jpeg", 16, 16)
+    f = jpeg_feature_extractor(8)(p)
+    assert f.shape == (8,) and abs(float(f.sum()) - 1.0) < 1e-6
+    assert int(np.argmax(f)) == 97 * 8 // 256
 
 
 def test_color_feature_extractor():
