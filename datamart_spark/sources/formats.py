@@ -260,15 +260,13 @@ def excel_to_csv(src: str, dst: str) -> None:
 
 
 def spss_to_csv(src: str, dst: str) -> None:
-    """S8 converter (lib_materialize/spss.py:6-13).  Requires pyreadstat."""
-    try:
-        import pyreadstat  # noqa: F401
-    except ImportError as e:
-        raise ConverterUnavailable(
-            "spss→csv needs pyreadstat (not installed)"
-        ) from e
-    df, _ = pyreadstat.read_sav(src)
-    df.to_csv(dst, index=False)
+    """S8 converter (reference: lib_materialize/spss.py:6-13, pyreadstat
+    + '%g'/CRLF to_csv) — REAL via the in-repo pure-Python system-file
+    reader (sources/spss.py; the format is publicly documented in the
+    PSPP manual).  zsav and non-IEEE variants raise with the reason."""
+    from .spss import sav_to_csv
+
+    sav_to_csv(src, dst)
 
 
 #: S5 plugin-registry analog (lib_materialize/__init__.py:96-127):

@@ -76,8 +76,138 @@ def test_unavailable_converters_raise_cleanly(files, tmp_path):
     xls_p.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
     with pytest.raises(ConverterUnavailable, match="xlrd"):
         CONVERTERS["excel97"](str(xls_p), str(tmp_path / "x.csv"))
-    with pytest.raises(ConverterUnavailable, match="pyreadstat"):
-        CONVERTERS["spss"](str(files["spss"]), str(tmp_path / "y.csv"))
+    # zsav is the explicit remaining SPSS boundary
+    from datamart_spark.sources.spss import SavError
+
+    zsav = tmp_path / "z.zsav"
+    zsav.write_bytes(b"$FL3" + b"\x00" * 64)
+    with pytest.raises(SavError, match="zsav"):
+        CONVERTERS["spss"](str(zsav), str(tmp_path / "z.csv"))
+
+
+def _write_min_sav(path, compressed=True):
+    """Hand-built SPSS system file (no SPSS writer lib in the sandbox):
+    numeric F8.0/F8.2, a 12-char string spanning two 8-byte segments
+    (continuation variable record), a DATE column, a long-variable-names
+    extension record, and — when compressed — every bytecode command:
+    small-int bias codes, 253 literals, 254 all-spaces, 255 sysmis."""
+    import datetime as dt
+    import struct
+
+    def pad(b, n, fill=b" "):
+        return b + fill * (n - len(b))
+
+    out = bytearray()
+    out += b"$FL2" + pad(b"@(#) TEST", 60)
+    out += struct.pack("<iiiii", 2, 5, 1 if compressed else 0, 0, 3)
+    out += struct.pack("<d", 100.0)
+    out += pad(b"01 Jan 26", 9) + pad(b"00:00:00", 8)
+    out += pad(b"test file", 64) + b"\x00" * 3
+
+    def var(vtype, fmt_type, fmt_w, fmt_d, name, label=None):
+        fmt = (fmt_type << 16) | (fmt_w << 8) | fmt_d
+        b = struct.pack("<iiiii", 2, vtype, 1 if label else 0, 0, fmt)
+        b += struct.pack("<i", fmt)
+        b += pad(name.encode(), 8)
+        if label:
+            lb = label.encode()
+            b += struct.pack("<i", len(lb))
+            b += pad(lb, (len(lb) + 3) // 4 * 4, b"\x00")
+        return b
+
+    out += var(0, 5, 8, 0, "ID")
+    out += var(0, 5, 8, 2, "SCORE", "the score")
+    out += var(12, 1, 12, 0, "NAME")
+    out += var(-1, 1, 12, 0, "")  # wide-string continuation
+    out += var(0, 20, 11, 0, "WHEN")
+    ln = b"WHEN=when_date\tSCORE=score"
+    out += struct.pack("<iiii", 7, 13, 1, len(ln)) + ln
+    out += struct.pack("<ii", 999, 0)
+
+    d0 = (dt.datetime(2021, 1, 2) - dt.datetime(1582, 10, 14)).total_seconds()
+    if compressed:
+        lit, cmds = [], []
+
+        def emit(code, payload=None):
+            cmds.append(code)
+            if payload is not None:
+                lit.append(payload)
+
+        emit(101)                                  # id = 1 (code - bias)
+        emit(253, struct.pack("<d", 2.5))          # score literal
+        emit(253, pad(b"alice", 8))                # name seg 1
+        emit(254)                                  # name seg 2 = spaces
+        emit(253, struct.pack("<d", d0))           # DATE literal
+        emit(142)                                  # id = 42
+        emit(255)                                  # score sysmis
+        emit(253, pad(b"bob over", 8))
+        emit(253, pad(b"flow", 8))                 # -> "bob overflow"
+        emit(253, struct.pack("<d", d0 + 86400))
+        emit(99)                                   # id = -1
+        emit(100)                                  # score = 0
+        emit(254)
+        emit(254)                                  # name all spaces -> ""
+        emit(255)                                  # DATE sysmis
+        emit(252)                                  # end of data
+        i = li = 0
+        while i < len(cmds):
+            grp = cmds[i:i + 8]
+            out += bytes(grp) + b"\x00" * (8 - len(grp))
+            for c in grp:
+                if c == 253:
+                    out += lit[li]
+                    li += 1
+            i += 8
+    else:
+        sysmis = struct.pack("<d", float("-1.7976931348623157e+308"))
+        for row in (
+            [struct.pack("<d", 1.0), struct.pack("<d", 2.5),
+             pad(b"alice", 8), b" " * 8, struct.pack("<d", d0)],
+            [struct.pack("<d", 42.0), sysmis,
+             pad(b"bob over", 8), pad(b"flow", 8),
+             struct.pack("<d", d0 + 86400)],
+            [struct.pack("<d", -1.0), struct.pack("<d", 0.0),
+             b" " * 8, b" " * 8, sysmis],
+        ):
+            for el in row:
+                out += el
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+_SAV_EXPECT = (
+    "ID,score,NAME,when_date\r\n"
+    "1,2.5,alice,2021-01-02\r\n"
+    "42,,bob overflow,2021-01-03\r\n"
+    "-1,0,,\r\n"
+)
+
+
+@pytest.mark.parametrize("compressed", [True, False])
+def test_sav_to_csv_stdlib(tmp_path, compressed):
+    """S8 real converter (reference parity lib_materialize/spss.py:6-13):
+    '%g' numerics, empty system-missing cells, wide strings reassembled
+    across segments, DATE columns as ISO dates, long variable names,
+    CRLF line endings — for both bytecode-compressed and raw files."""
+    src = tmp_path / "m.sav"
+    _write_min_sav(str(src), compressed=compressed)
+    assert detect_format(str(src)) == "spss"
+    dst = tmp_path / "m.csv"
+    CONVERTERS["spss"](str(src), str(dst))
+    assert open(dst, "rb").read().decode() == _SAV_EXPECT
+
+
+def test_sav_read_auto_roundtrip(spark, tmp_path):
+    src = tmp_path / "r.sav"
+    _write_min_sav(str(src))
+    df = read_auto(spark, str(src))
+    assert df.columns == ["ID", "score", "NAME", "when_date"]
+    got = {r["ID"]: (r["score"], r["NAME"], r["when_date"]) for r in df.collect()}
+    assert got == {
+        "1": ("2.5", "alice", "2021-01-02"),
+        "42": (None, "bob overflow", "2021-01-03"),
+        "-1": ("0", None, None),
+    }
 
 
 def _write_min_xlsx(path, date1904=False):
