@@ -246,17 +246,17 @@ def xlsx_to_csv(src: str, dst: str) -> None:
 
 
 def excel_to_csv(src: str, dst: str) -> None:
-    """S6 converter (reference lib_materialize/excel.py:8-31): .xlsx is
-    read with the stdlib zip+XML reader above; legacy .xls (BIFF binary)
-    genuinely needs xlrd, which is not in this sandbox."""
+    """S6 converter (reference lib_materialize/excel.py:8-31): .xlsx via
+    the stdlib zip+XML reader above; legacy .xls (BIFF8 inside an OLE2
+    compound file) via the in-repo pure-Python reader (sources/xls.py) —
+    both publicly documented formats ([MS-CFB]/[MS-XLS])."""
     with open(src, "rb") as f:
         head = f.read(8)
     if head.startswith(_XLSX_MAGIC):
         return xlsx_to_csv(src, dst)
-    raise ConverterUnavailable(
-        "excel97(.xls)→csv needs xlrd (not installed); .xlsx converts "
-        "with the built-in stdlib reader"
-    )
+    from .xls import xls_to_csv
+
+    return xls_to_csv(src, dst)
 
 
 def spss_to_csv(src: str, dst: str) -> None:

@@ -72,9 +72,12 @@ def test_read_auto_delimited(spark, files):
 
 
 def test_unavailable_converters_raise_cleanly(files, tmp_path):
+    # a truncated OLE2 container fails with a clean format error
+    from datamart_spark.sources.xls import XlsError
+
     xls_p = tmp_path / "legacy.xls"
     xls_p.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
-    with pytest.raises(ConverterUnavailable, match="xlrd"):
+    with pytest.raises((XlsError, ValueError)):
         CONVERTERS["excel97"](str(xls_p), str(tmp_path / "x.csv"))
     # zsav is the explicit remaining SPSS boundary
     from datamart_spark.sources.spss import SavError
@@ -421,3 +424,240 @@ def test_keyset_pagination_walks_all_pages(spark, tmp_path):
         after = (page[-1]["grp"], page[-1]["seq"])
     assert seen == sorted(((i % 7, i) for i in range(100)))
     assert len(seen) == 100
+
+
+# --- legacy .xls (hand-built OLE2 + BIFF8 fixtures) --------------------------
+
+import struct
+
+
+def _xls_rec(rid, payload):
+    return struct.pack("<HH", rid, len(payload)) + payload
+
+
+def _build_biff():
+    """Globals + one sheet: header strings via SST, number, RK int,
+    RK x100, MULRK pair, builtin-date, custom-date, bool, blank."""
+    sst_strings = ["name", "num", "when", "flag"]
+
+    def uni(s):
+        return struct.pack("<HB", len(s), 0) + s.encode("latin-1")
+
+    g = bytearray()
+    g += _xls_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    g += _xls_rec(0x0022, struct.pack("<H", 0))  # DATEMODE 1900
+    # custom FORMAT id 164 = yyyy-mm-dd (date by heuristic)
+    fmt = "yyyy-mm-dd"
+    g += _xls_rec(0x041E, struct.pack("<HH", 164, len(fmt)) + b"\x00" + fmt.encode())
+    # XF 0: general; XF 1: builtin date (ifmt 14); XF 2: custom date 164
+    for ifmt in (0, 14, 164):
+        g += _xls_rec(0x00E0, struct.pack("<HH", 0, ifmt) + b"\x00" * 16)
+    # SST
+    sst = struct.pack("<II", len(sst_strings), len(sst_strings))
+    for s in sst_strings:
+        sst += uni(s)
+    g += _xls_rec(0x00FC, sst)
+    # BOUNDSHEET placeholder (patched after assembling)
+    bs_payload = struct.pack("<I", 0) + b"\x00\x00" + struct.pack("<B", 6) + b"\x00Sheet1"
+    bs_at = len(g) + 4  # offset of payload (sheet offset field)
+    g += _xls_rec(0x0085, bs_payload)
+    g += _xls_rec(0x000A, b"")  # EOF globals
+
+    sheet_off = len(g)
+    s = bytearray()
+    s += _xls_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    # row 0: header (LABELSST x4)
+    for c, isst in enumerate(range(4)):
+        s += _xls_rec(0x00FD, struct.pack("<HHHI", 0, c, 0, isst))
+    # row 1: number, RK int, date via NUMBER w/ builtin XF, bool
+    s += _xls_rec(0x0203, struct.pack("<HHH", 1, 0, 0) + struct.pack("<d", 2.5))
+    s += _xls_rec(0x027E, struct.pack("<HHHI", 1, 1, 0, (42 << 2) | 2))
+    s += _xls_rec(0x0203, struct.pack("<HHH", 1, 2, 1) + struct.pack("<d", 44197.0))
+    s += _xls_rec(0x0205, struct.pack("<HHHBB", 1, 3, 0, 1, 0))  # TRUE
+    # row 2: MULRK (x100 int RK = 2.5, plain int 7), custom date via RK, blank
+    mulrk = struct.pack("<HH", 2, 0)
+    mulrk += struct.pack("<HI", 0, (250 << 2) | 2 | 1)  # 250/100 = 2.5
+    mulrk += struct.pack("<HI", 0, (7 << 2) | 2)
+    mulrk += struct.pack("<H", 1)  # colLast
+    s += _xls_rec(0x00BD, mulrk)
+    s += _xls_rec(0x027E, struct.pack("<HHHI", 2, 2, 2, (44198 << 2) | 2))
+    s += _xls_rec(0x0201, struct.pack("<HHH", 2, 3, 0))  # BLANK
+    s += _xls_rec(0x000A, b"")  # EOF sheet
+
+    wb = bytearray(g + s)
+    wb[bs_at:bs_at + 4] = struct.pack("<I", sheet_off)
+    return bytes(wb)
+
+
+_XFREE, _XEOC, _XFATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+
+
+def _xls_dir_entry(name, etype, start, size):
+    e = bytearray(128)
+    nb = name.encode("utf-16-le") + b"\x00\x00"
+    e[:len(nb)] = nb
+    struct.pack_into("<H", e, 64, len(nb))
+    e[66] = etype
+    e[67] = 1  # black
+    struct.pack_into("<III", e, 68, _XFREE, _XFREE, _XFREE)
+    struct.pack_into("<I", e, 116, start)
+    struct.pack_into("<I", e, 120, size)
+    return bytes(e)
+
+
+def _build_ole2(workbook, force_mini=False):
+    """Wrap the workbook stream in a minimal OLE2 container.  Streams
+    >= 4096 bytes use regular sectors; smaller ones go through the
+    mini-FAT unless padded."""
+    if not force_mini and len(workbook) < 4096:
+        workbook = workbook + b"\x00" * (4096 - len(workbook))
+    big = len(workbook) >= 4096
+
+    sectors = []  # list of 512-byte sectors, data area
+    fat = []
+
+    def add_sector(b):
+        sectors.append(b + b"\x00" * (512 - len(b)))
+        fat.append(_XEOC)
+        return len(sectors) - 1
+
+    fat_sec = add_sector(b"")  # placeholder for FAT itself
+    fat[fat_sec] = _XFATSECT
+
+    if big:
+        first = None
+        prev = None
+        for off in range(0, len(workbook), 512):
+            i = add_sector(workbook[off:off + 512])
+            if first is None:
+                first = i
+            if prev is not None:
+                fat[prev] = i
+            prev = i
+        root = _xls_dir_entry("Root Entry", 5, _XEOC, 0)
+        wbe = _xls_dir_entry("Workbook", 2, first, len(workbook))
+        dir_sec = add_sector(root + wbe + _xls_dir_entry("", 0, _XFREE, 0) * 2)
+        minifat_start, n_minifat = _XEOC, 0
+    else:
+        # ministream: 64-byte mini sectors inside the root's chain
+        n_mini = (len(workbook) + 63) // 64
+        mini = workbook + b"\x00" * (n_mini * 64 - len(workbook))
+        first_ms = None
+        prev = None
+        for off in range(0, len(mini), 512):
+            i = add_sector(mini[off:off + 512])
+            if first_ms is None:
+                first_ms = i
+            if prev is not None:
+                fat[prev] = i
+            prev = i
+        minifat_entries = [j + 1 for j in range(n_mini - 1)] + [_XEOC]
+        mf = b"".join(struct.pack("<I", x) for x in minifat_entries)
+        minifat_start = add_sector(mf)
+        n_minifat = 1
+        root = _xls_dir_entry("Root Entry", 5, first_ms, len(mini))
+        wbe = _xls_dir_entry("Workbook", 2, 0, len(workbook))
+        dir_sec = add_sector(root + wbe + _xls_dir_entry("", 0, _XFREE, 0) * 2)
+
+    # write FAT into its sector
+    fatbytes = b"".join(struct.pack("<I", x) for x in fat)
+    fatbytes += struct.pack("<I", _XFREE) * (128 - len(fat))
+    sectors[fat_sec] = fatbytes
+
+    hdr = bytearray(512)
+    hdr[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<HH", hdr, 24, 0x3E, 0x0003)
+    struct.pack_into("<H", hdr, 28, 0xFFFE)
+    struct.pack_into("<HH", hdr, 30, 9, 6)
+    struct.pack_into("<I", hdr, 44, 1)          # one FAT sector
+    struct.pack_into("<I", hdr, 48, dir_sec)
+    struct.pack_into("<I", hdr, 56, 4096)
+    struct.pack_into("<I", hdr, 60, minifat_start)
+    struct.pack_into("<I", hdr, 64, n_minifat)
+    struct.pack_into("<I", hdr, 68, _XEOC)        # no DIFAT chain
+    struct.pack_into("<I", hdr, 72, 0)
+    difat = [fat_sec] + [_XFREE] * 108
+    struct.pack_into("<109I", hdr, 76, *difat)
+    return bytes(hdr) + b"".join(sectors)
+
+
+
+
+_XLS_EXPECT = [
+    ["name", "num", "when", "flag"],
+    ["2.5", "42", "2021-01-01T00:00:00", "1"],
+    ["2.5", "7", "2021-01-02T00:00:00", ""],
+]
+
+
+@pytest.mark.parametrize("force_mini", [False, True])
+def test_xls_to_csv_stdlib(tmp_path, force_mini):
+    """S6 legacy converter, pure-Python ([MS-CFB]+[MS-XLS]): NUMBER/RK/
+    MULRK/LABELSST/BOOLERR/BLANK cells, builtin + custom date formats
+    to ISO-8601, '{:g}' numbers — through BOTH container paths (regular
+    FAT sectors and the mini-FAT stream for workbooks under 4096 B)."""
+    src = tmp_path / ("mini.xls" if force_mini else "big.xls")
+    src.write_bytes(_build_ole2(_build_biff(), force_mini=force_mini))
+    assert detect_format(str(src)) == "excel97"
+    dst = tmp_path / "out.csv"
+    CONVERTERS["excel97"](str(src), str(dst))
+    assert list(csv.reader(open(dst))) == _XLS_EXPECT
+
+
+def test_xls_multi_sheet_rejected(tmp_path):
+    import struct as _s
+
+    biff = bytearray(_build_biff())
+    # append a second BOUNDSHEET record right before the globals EOF
+    eof = biff.find(_xls_rec(0x000A, b""))
+    extra = _xls_rec(0x0085, _s.pack("<I", 0) + b"\x00\x00" +
+                     _s.pack("<B", 6) + b"\x00Sheet2")
+    biff = bytes(biff[:eof]) + extra + bytes(biff[eof:])
+    src = tmp_path / "two.xls"
+    src.write_bytes(_build_ole2(biff))
+    with pytest.raises(ValueError, match="2 sheets"):
+        CONVERTERS["excel97"](str(src), str(tmp_path / "t.csv"))
+
+
+def test_xls_sst_continue_split(tmp_path):
+    """An SST string split across a CONTINUE record restarts with a
+    fresh high-byte flag ([MS-XLS] 2.5.293) — both fragments must
+    reassemble."""
+    import struct as _s
+
+    g = bytearray()
+    g += _xls_rec(0x0809, _s.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    g += _xls_rec(0x0022, _s.pack("<H", 0))
+    g += _xls_rec(0x00E0, _s.pack("<HH", 0, 0) + b"\x00" * 16)
+    sst_head = _s.pack("<II", 2, 2)
+    s1 = _s.pack("<HB", 5, 0) + b"alpha"
+    s2a = _s.pack("<HB", 12, 0) + b"cont"
+    s2b = b"\x00" + b"inuation"  # fresh grbit byte, then the rest
+    g += _xls_rec(0x00FC, sst_head + s1 + s2a)
+    g += _xls_rec(0x003C, s2b)  # CONTINUE
+    bs_at = len(g) + 4
+    g += _xls_rec(0x0085, _s.pack("<I", 0) + b"\x00\x00" +
+                  _s.pack("<B", 6) + b"\x00Sheet1")
+    g += _xls_rec(0x000A, b"")
+    sheet_off = len(g)
+    sh = bytearray()
+    sh += _xls_rec(0x0809, _s.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    sh += _xls_rec(0x00FD, _s.pack("<HHHI", 0, 0, 0, 0))
+    sh += _xls_rec(0x00FD, _s.pack("<HHHI", 0, 1, 0, 1))
+    sh += _xls_rec(0x000A, b"")
+    wb = bytearray(g + sh)
+    wb[bs_at:bs_at + 4] = _s.pack("<I", sheet_off)
+    src = tmp_path / "cont.xls"
+    src.write_bytes(_build_ole2(bytes(wb)))
+    dst = tmp_path / "cont.csv"
+    CONVERTERS["excel97"](str(src), str(dst))
+    assert list(csv.reader(open(dst))) == [["alpha", "continuation"]]
+
+
+def test_xls_read_auto_roundtrip(spark, tmp_path):
+    src = tmp_path / "r.xls"
+    src.write_bytes(_build_ole2(_build_biff()))
+    df = read_auto(spark, str(src))
+    assert df.columns == ["name", "num", "when", "flag"]
+    got = sorted((r["num"], r["flag"]) for r in df.collect())
+    assert got == [("42", "1"), ("7", None)]
