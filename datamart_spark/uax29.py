@@ -41,9 +41,10 @@ plain ``\\w+`` — one C-speed lookaround scan detects that and takes the
 findall fast path, so ASCII-ish web text pays ~no premium over the
 simple profile (the full grammar runs only on documents that need it).
 
-Quarantined deviation (not implemented, listed so the gap is
-explicit): supplementary-plane Extend chars (emoji skin-tone
-modifiers) are not WB4-transparent; they affect no word-char token.
+Remaining divergence from Lucene (listed so the gap is explicit):
+non-flag pictographic emoji (Extended_Pictographic sequences) are
+dropped rather than emitted as <EMOJI> tokens — carrying the full
+property table is not worth it for a keyword index.
 """
 
 from __future__ import annotations
@@ -51,7 +52,7 @@ from __future__ import annotations
 import re
 import unicodedata
 
-_HAN = "㐀-䶿一-鿿豈-﫿"
+_HAN = "㐀-䶿一-鿿豈-﫿\U00020000-\U0003134a"  # incl. CJK ext B..G unigrams
 _HIRA = "ぁ-ゟ"
 _KATA = "゠-ヿㇰ-ㇿ"
 #: Hebrew_Letter word-break class (block letters + presentation forms;
@@ -64,24 +65,40 @@ _RI = "🇦-🇿"
 
 def _ext_class() -> str:
     """Regex character class of WB4-transparent chars: Extend (Mn/Mc/Me)
-    ∪ Format (Cf, which includes ZWJ U+200D and ZWNJ U+200C).  Built
-    from a one-time BMP scan (~26 ms at import; supplementary-plane
-    extend chars — emoji modifiers — are the quarantined deviation
-    noted in the module docstring)."""
+    ∪ Format (Cf, which includes ZWJ U+200D and ZWNJ U+200C) ∪ emoji
+    skin-tone modifiers (U+1F3FB..FF, Word_Break=Extend since Unicode
+    11).  Built from a one-time scan of the BMP plus the supplementary
+    ranges where non-ideographic Mn/Mc/Cf actually live: plane 1 (SMP
+    combining marks, musical/maths marks, emoji modifiers) and plane 14
+    (tag characters, variation selectors supplement) — ~50 ms at
+    import.  Planes 2-13/15-16 hold only ideographs and private use."""
     parts: list[str] = []
     start = None
-    for cp in range(0x10000):
-        if unicodedata.category(chr(cp)) in ("Mn", "Mc", "Me", "Cf"):
-            if start is None:
-                start = cp
-        elif start is not None:
+    prev = None
+    ranges = [(0, 0x10000), (0x10000, 0x20000), (0xE0000, 0xE01F0)]
+
+    def flush(last_cp: int) -> None:
+        nonlocal start
+        if start is not None:
             parts.append(
-                re.escape(chr(start)) if start == cp - 1
-                else re.escape(chr(start)) + "-" + re.escape(chr(cp - 1))
+                re.escape(chr(start)) if start == last_cp
+                else re.escape(chr(start)) + "-" + re.escape(chr(last_cp))
             )
             start = None
-    if start is not None:
-        parts.append(re.escape(chr(start)) + "-" + re.escape(chr(0xFFFF)))
+
+    for lo, hi in ranges:
+        for cp in range(lo, hi):
+            is_ext = (
+                unicodedata.category(chr(cp)) in ("Mn", "Mc", "Me", "Cf")
+                or 0x1F3FB <= cp <= 0x1F3FF  # emoji modifiers (Sk, WB=Extend)
+            )
+            if is_ext:
+                if start is None:
+                    start = cp
+            else:
+                flush(cp - 1)
+            prev = cp
+        flush(prev)
     return "".join(parts)
 
 

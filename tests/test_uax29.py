@@ -65,6 +65,13 @@ VECTORS = [
     ("\U0001f1fa\U0001f1f8\U0001f1eb\U0001f1f7\U0001f1e9",
      ["\U0001f1fa\U0001f1f8", "\U0001f1eb\U0001f1f7", "\U0001f1e9"]),
     ("hi \U0001f1e9\U0001f1ea there", ["hi", "\U0001f1e9\U0001f1ea", "there"]),
+    # supplementary-plane WB4: emoji skin-tone modifier (WB Extend),
+    # variation-selector supplement (Mn) are transparent and retained
+    ("hi\U0001f3fbthere", ["hi\U0001f3fbthere"]),
+    ("a\U000e0101b", ["a\U000e0101b"]),
+    ("x \U0001d165 y", ["x", "y"]),  # lone SMP combining mark: no token
+    # CJK extension B: unigrams like the BMP ideographs
+    ("abc\U00020000\U00020001def", ["abc", "\U00020000", "\U00020001", "def"]),
 ]
 
 
