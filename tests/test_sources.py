@@ -661,3 +661,63 @@ def test_xls_read_auto_roundtrip(spark, tmp_path):
     assert df.columns == ["name", "num", "when", "flag"]
     got = sorted((r["num"], r["flag"]) for r in df.collect())
     assert got == [("42", "1"), ("7", None)]
+
+
+# --- W7 NOAA materializer (injected transport; rollup is real) ----------------
+
+
+def test_noaa_rollup_and_pagination(tmp_path, monkeypatch):
+    from datamart_spark.sources.noaa import (
+        UnconfiguredMaterializer, get_all, noaa_download, rollup_by_date,
+    )
+
+    # per-date station averaging, reference ordering (noaa.py:76-87)
+    rows = [
+        {"date": "2021-01-02", "value": 4.0},
+        {"date": "2021-01-01", "value": 1.0},
+        {"date": "2021-01-01", "value": 3.0},
+        {"date": "2021-01-02", "value": 6.0},
+        {"date": "2021-01-03", "value": 5.0},
+    ]
+    assert rollup_by_date(rows) == [
+        ("2021-01-01", 2.0), ("2021-01-02", 5.0), ("2021-01-03", 5.0),
+    ]
+
+    # pagination: two limit-1000 pages + a transient failure retried
+    all_rows = [{"date": f"2021-01-{1 + i % 3:02d}", "value": float(i)}
+                for i in range(1500)]
+    calls = {"n": 0, "fail_once": True}
+
+    def fetch(url, headers, params):
+        from datamart_spark.sources.materialize import MaterializeError
+
+        assert headers["token"] == "tok" and url.endswith("/data")
+        if calls["fail_once"]:
+            calls["fail_once"] = False
+            raise MaterializeError("transient")
+        calls["n"] += 1
+        off = int(params["offset"])
+        page = all_rows[off:off + 1000]
+        return {"results": page,
+                "metadata": {"resultset": {"count": len(all_rows)}}}
+
+    got = get_all("/data", "tok", fetch=fetch, delay=0)
+    assert got == all_rows and calls["n"] == 2
+
+    # end-to-end download with the injected transport
+    monkeypatch.setenv("NOAA_TOKEN", "tok")
+    calls["fail_once"] = False
+    dst = tmp_path / "noaa.csv"
+    noaa_download(
+        {"noaa_dataset_id": "GHCND", "noaa_datatype_id": "TAVG",
+         "noaa_city_id": "CITY:1", "noaa_start": "2021-01-01",
+         "noaa_end": "2021-01-03"},
+        str(dst), fetch=fetch, delay=0,
+    )
+    out = list(csv.reader(open(dst)))
+    assert out[0] == ["date", "TAVG"]
+    assert len(out) == 4  # 3 distinct dates
+    # missing token is the reference's UnconfiguredMaterializer
+    monkeypatch.delenv("NOAA_TOKEN")
+    with pytest.raises(UnconfiguredMaterializer, match="NOAA_TOKEN"):
+        noaa_download({}, str(dst), fetch=fetch)
