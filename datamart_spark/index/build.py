@@ -342,6 +342,12 @@ def build_index(
         # roll back any rewrite that crashed mid-swap before trusting
         # partition directories (catalog.recover docstring)
         catalog.recover()
+        if catalog._pending_markers():
+            raise RuntimeError(
+                "another writer holds in-flight rewrite markers on this "
+                "catalog (single-writer contract); if that process is "
+                "dead despite the pid probe, run catalog.recover(force=True)"
+            )
     snap = catalog.current_snapshot() if resume else None
     if tokenizer is None:
         # default profile: uax29 under stemming, simple otherwise

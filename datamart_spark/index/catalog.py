@@ -202,6 +202,7 @@ class IndexCatalog:
                     "had_old": had_old,
                     "deferred": defer_cleanup,
                     "snap_seq": snap["sequence"] if snap else 0,
+                    "pid": os.getpid(),
                 },
                 f,
             )
@@ -255,6 +256,7 @@ class IndexCatalog:
                     "whole_table": True,
                     "deferred": True,
                     "snap_seq": snap["sequence"] if snap else 0,
+                    "pid": os.getpid(),
                 },
                 f,
             )
@@ -293,17 +295,34 @@ class IndexCatalog:
             done.append(name)
         return done
 
-    def recover(self) -> list[str]:
+    @staticmethod
+    def _writer_alive(payload: dict) -> bool:
+        pid = payload.get("pid")
+        if not pid:
+            return False
+        try:
+            os.kill(pid, 0)
+            return True
+        except OSError:
+            return False
+
+    def recover(self, force: bool = False) -> list[str]:
         """Resolve any rewrite that crashed mid-mutation, in the
         direction the snapshot log decided:
 
         - marker's recorded sequence < current sequence ⇒ the snapshot
           commit LANDED, only the post-commit cleanup was lost — roll
-          forward (drop ``.old`` dirs, keep the new partitions);
-        - otherwise the commit never happened — roll back: restore each
-          partition whose ``.old`` survives, and delete partitions the
-          marker says had no prior directory (brand-new shards must not
-          leak into the still-current snapshot).
+          forward (drop backups, keep the new partitions);
+        - the writer process recorded in the marker is STILL ALIVE and
+          the commit hasn't landed ⇒ the mutation is IN FLIGHT, not
+          crashed — leave it alone (rolling back a live writer's swaps
+          from a concurrent query would corrupt its run); the local-mode
+          stand-in for Iceberg's commit lease is a same-host pid probe,
+          overridable with ``force=True`` after pid reuse;
+        - otherwise the writer is dead and the commit never happened —
+          roll back: restore each partition whose backup survives, and
+          delete partitions the marker says had no prior directory
+          (brand-new shards must not leak into the current snapshot).
 
         Returns the table names recovered."""
         cur = self.current_snapshot()
@@ -314,6 +333,8 @@ class IndexCatalog:
                 payload.get("deferred", False)
                 and cur_seq > payload.get("snap_seq", cur_seq)
             )
+            if not committed and not force and self._writer_alive(payload):
+                continue  # in-flight deferred mutation — not ours to undo
             if payload.get("whole_table"):
                 backup = self._table_backup_path(name)
                 if committed:
@@ -357,13 +378,13 @@ class IndexCatalog:
         snapshot — reuses the resolved file index across queries.  Use
         on the QUERY path only (between writes, ``read`` stays exact).
 
-        Rolls back any crashed rewrite first (ADVICE r3: without this,
-        a delete that died mid-swap would leave queries silently missing
+        Resolves any CRASHED rewrite first (ADVICE r3: without this, a
+        delete that died mid-swap would leave queries silently missing
         the renamed-away partition until the next build/delete ran).
         ``recover()`` is one listdir when no marker exists — noise
-        against a query.  Single-writer discipline: a rewrite holds no
-        marker while its rewrite ``df`` executes, only during the swap
-        loop, and never reads through this path mid-swap."""
+        against a query — and it never touches a mutation whose writer
+        process is still alive, so queries running concurrently with a
+        build/delete cannot undo its staged swaps."""
         if self.recover():
             self._df_cache.clear()
         snap = self.current_snapshot()

@@ -45,6 +45,12 @@ def delete_docs(
     doc_ids are never re-allocated (the snapshot's next_doc_id high-water
     mark is monotone)."""
     catalog.recover()  # roll back any earlier delete that crashed mid-swap
+    if catalog._pending_markers():
+        raise RuntimeError(
+            "another writer holds in-flight rewrite markers on this "
+            "catalog (single-writer contract); if that process is "
+            "dead despite the pid probe, run catalog.recover(force=True)"
+        )
     snap = catalog.current_snapshot()
     if not snap:
         raise ValueError("nothing committed in this catalog")

@@ -72,7 +72,12 @@ def get_all(endpoint: str, token: str, fetch=None, delay: float = DELAY,
         failed = 0
         if not obj:
             return results
-        results.extend(obj["results"])
+        page = obj.get("results") or []
+        if not page:
+            # a page that adds nothing while count claims more would
+            # loop forever (the count can drift) — treat as exhausted
+            return results
+        results.extend(page)
         count = int(obj["metadata"]["resultset"]["count"])
         if len(results) >= count:
             break

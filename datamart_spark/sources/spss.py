@@ -113,6 +113,13 @@ def _read_sav(path: str):
             count = i4()
             payload = data[pos:pos + size * count]
             pos += size * count
+            if subtype == 14 and payload.strip(b"\x00"):
+                # very-long-string stitching: a >255-byte string is split
+                # into several dictionary variables; emitting them as
+                # separate columns would be silently wrong — refuse
+                raise SavError(
+                    "very long strings (>255 bytes, subtype 14) unsupported"
+                )
             if subtype == 13:  # long variable names: SHORT=Long\tSHORT=...
                 for pair in payload.decode("latin-1", "replace").split("\t"):
                     if "=" in pair:

@@ -48,7 +48,9 @@ def _cfb_stream(data: bytes, name_wanted: tuple[str, ...]) -> bytes:
     n_difat = struct.unpack("<I", data[72:76])[0]
 
     def sector(i: int) -> bytes:
-        off = 512 + i * ssz
+        # [MS-CFB]: sector 0 begins one FULL sector after offset 0, so
+        # v4 files (4096-byte sectors) start their data at 4096, not 512
+        off = (i + 1) * ssz
         return data[off:off + ssz]
 
     # DIFAT: 109 entries in the header + chained DIFAT sectors
@@ -276,8 +278,10 @@ def _read_xls(data: bytes, is_date_fmt) -> tuple[list[list], int]:
             res = wb[pos + 6:pos + 14]
             if res[6:8] == b"\xff\xff":
                 kind = res[0]
-                if kind == 0:  # string result in the following STRING rec
+                if kind == 0:  # string result in a following STRING rec
                     for rid2, p2, l2 in _parse_records(wb[pos + ln:]):
+                        if rid2 in (0x04BC, 0x0221, 0x0236):
+                            continue  # SHRFMLA / ARRAY / TABLE in between
                         if rid2 == 0x0207:
                             p2 += pos + ln
                             cch, grbit = struct.unpack(
@@ -303,7 +307,7 @@ def _read_xls(data: bytes, is_date_fmt) -> tuple[list[list], int]:
                     cells.setdefault((r, cc), "")
 
     if not cells:
-        return [], 1
+        return ([], 1), date1904
     nrows = max(r for r, _ in cells) + 1
     ncols = max(c for _, c in cells) + 1
     return (

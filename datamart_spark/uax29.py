@@ -105,8 +105,10 @@ def _ext_class() -> str:
 _EXT = _ext_class()
 
 # word char = \w minus CJK classes handled apart, minus Extend/Format
-# (underscore stays: ExtendNumLet joins, WB13)
-_WC = rf"(?:(?![{_HAN}{_HIRA}{_KATA}{_EXT}])\w)"
+# (underscore stays: ExtendNumLet joins, WB13), plus U+05F3 HEBREW
+# PUNCTUATION GERESH — ALetter per WordBreakProperty.txt though Po, so
+# not matched by \w ("\u05d2\u05f3\u05d9\u05e0\u05e1" is ONE token)
+_WC = rf"(?:(?![{_HAN}{_HIRA}{_KATA}{_EXT}])[\w\u05f3])"
 _MIDS = ".,:;'’·\"״"
 _WCE = rf"{_WC}(?:{_WC}|[{_EXT}])*"  # word-char run absorbing Extend/Format
 _COARSE = re.compile(
@@ -123,7 +125,7 @@ _COARSE = re.compile(
 # a regional indicator, a trailing-geresh candidate, or a mid-joiner
 # candidate BETWEEN two word chars — C-speed test
 _NEEDS_SLOW = re.compile(
-    rf"[{_HAN}{_HIRA}{_KATA}{_EXT}{_RI}]"
+    rf"[{_HAN}{_HIRA}{_KATA}{_EXT}{_RI}\u05f3]"
     rf"|(?<=\w)[{_MIDS}](?=\w)"
     rf"|(?<=[{_HEB}])'"
 )

@@ -214,6 +214,18 @@ def _boom(*_a, **_k):
     raise RuntimeError("simulated crash")
 
 
+def _mark_writers_dead(cat):
+    """A real crash kills the writer process; these tests simulate one
+    from a live process, so zero out the markers' pid (recover() treats
+    a live writer's in-flight markers as not-ours-to-undo)."""
+    import json
+
+    for name, path, payload in cat._pending_markers():
+        payload["pid"] = 0
+        with open(path, "w") as f:
+            json.dump(payload, f)
+
+
 def _topk(spark, cat, q, k=15):
     return [(r["doc_id"], round(r["score"], 9))
             for r in bm25_topk_blockmax(spark, cat, q, k=k).collect()]
@@ -233,6 +245,7 @@ def test_grown_build_crash_before_commit_rolls_back(spark, tmp_path):
     cat.commit_snapshot = _boom  # crash between table swaps and commit
     with pytest.raises(RuntimeError, match="simulated crash"):
         build_index(generate_documents(spark, 800), cat)
+    _mark_writers_dead(cat)  # the "crashed" writer is this live process
 
     # a new process: fresh catalog object; the query path auto-recovers
     cat2 = IndexCatalog(root)
@@ -268,6 +281,7 @@ def test_grown_build_crash_after_commit_rolls_forward(spark, tmp_path):
     cat.finalize_pending = _boom  # crash right after the commit
     with pytest.raises(RuntimeError, match="simulated crash"):
         build_index(generate_documents(spark, 800), cat)
+    _mark_writers_dead(cat)
 
     cat2 = IndexCatalog(root)
     assert cat2.current_snapshot()["n_docs"] == 800
@@ -300,6 +314,7 @@ def test_delete_crash_before_commit_rolls_back_everywhere(spark, tmp_path):
     cat.commit_snapshot = _boom
     with pytest.raises(RuntimeError, match="simulated crash"):
         delete_docs(spark, cat, doc_ids=[5, 6, 200])
+    _mark_writers_dead(cat)
 
     cat2 = IndexCatalog(root)
     assert _topk(spark, cat2, q, k=10) == before
@@ -347,3 +362,39 @@ def test_delete_then_ingest_never_reuses_doc_ids(spark, tmp_path):
     ids = {r["doc_id"] for r in ds.select("doc_id").collect()}
     assert not ({0, 1, 2} & ids)
     assert max(ids) == 499
+
+
+def test_recover_skips_live_writers(spark, tmp_path):
+    """recover() must NOT roll back a deferred mutation whose writer
+    process is still alive — a query running concurrently with a grown
+    build/delete would otherwise undo its staged swaps mid-run.  A live
+    writer's markers also block a second writer (single-writer
+    contract)."""
+    import json
+    import os
+
+    from datamart_spark.index import delete_docs
+
+    root = str(tmp_path / "lw")
+    cat = IndexCatalog(root)
+    build_index(generate_documents(spark, 300), cat, n_shards=4, resume=False)
+
+    # fabricate an in-flight deferred marker held by THIS (live) process
+    marker = cat._pending_path("postings")
+    with open(marker, "w") as f:
+        json.dump({"shards": [], "had_old": [], "deferred": True,
+                   "snap_seq": cat.current_snapshot()["sequence"],
+                   "pid": os.getpid()}, f)
+    assert cat.recover() == []          # live writer: untouched
+    assert os.path.exists(marker)
+    q = f"{_VOCAB[40]} {_VOCAB[120]}"
+    assert len(_topk(spark, cat, q, k=5)) > 0  # queries still serve
+
+    with pytest.raises(RuntimeError, match="another writer"):
+        build_index(generate_documents(spark, 300), cat)
+    with pytest.raises(RuntimeError, match="another writer"):
+        delete_docs(spark, cat, doc_ids=[1])
+
+    # force recovery (operator decision) clears it
+    assert cat.recover(force=True) == ["postings"]
+    assert not os.path.exists(marker)

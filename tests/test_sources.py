@@ -721,3 +721,64 @@ def test_noaa_rollup_and_pagination(tmp_path, monkeypatch):
     monkeypatch.delenv("NOAA_TOKEN")
     with pytest.raises(UnconfiguredMaterializer, match="NOAA_TOKEN"):
         noaa_download({}, str(dst), fetch=fetch)
+
+
+def test_xls_empty_sheet(tmp_path):
+    """A workbook whose only sheet has no cell records converts to an
+    empty CSV (xlrd parity), not a crash."""
+    import struct as _s
+
+    g = bytearray()
+    g += _xls_rec(0x0809, _s.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    bs_at = len(g) + 4
+    g += _xls_rec(0x0085, _s.pack("<I", 0) + b"\x00\x00" +
+                  _s.pack("<B", 6) + b"\x00Sheet1")
+    g += _xls_rec(0x000A, b"")
+    sheet_off = len(g)
+    g += _xls_rec(0x0809, _s.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    g += _xls_rec(0x000A, b"")
+    wb = bytearray(g)
+    wb[bs_at:bs_at + 4] = _s.pack("<I", sheet_off)
+    src = tmp_path / "empty.xls"
+    src.write_bytes(_build_ole2(bytes(wb)))
+    dst = tmp_path / "empty.csv"
+    CONVERTERS["excel97"](str(src), str(dst))
+    assert open(dst).read() == ""
+
+
+def test_sav_very_long_strings_refused(tmp_path):
+    """Subtype-14 (very long strings) would silently produce a wrong
+    schema — must refuse with the reason."""
+    import struct as _s
+
+    from datamart_spark.sources.spss import SavError
+
+    src = tmp_path / "vls.sav"
+    _write_min_sav(str(src))
+    data = bytearray(src.read_bytes())
+    term = data.find(_s.pack("<ii", 999, 0))
+    vls = b"NAME=00300"
+    rec = _s.pack("<iiii", 7, 14, 1, len(vls)) + vls
+    data = bytes(data[:term]) + rec + bytes(data[term:])
+    src.write_bytes(data)
+    with pytest.raises(SavError, match="very long strings"):
+        CONVERTERS["spss"](str(src), str(tmp_path / "v.csv"))
+
+
+def test_noaa_empty_page_terminates():
+    """A page that adds no rows while the count claims more must end
+    the pull, not loop forever (count drift happens in the wild)."""
+    from datamart_spark.sources.noaa import get_all
+
+    def fetch(url, headers, params):
+        off = int(params["offset"])
+        page = [{"date": "2021-01-01", "value": 1.0}] if off == 0 else []
+        return {"results": page,
+                "metadata": {"resultset": {"count": 10}}}
+
+    got = get_all("/data", "tok", fetch=fetch, delay=0)
+    assert len(got) == 1
+    # a page with no results key at all: same clean exhaustion
+    def fetch2(url, headers, params):
+        return {"metadata": {"resultset": {"count": 10}}}
+    assert get_all("/data", "tok", fetch=fetch2, delay=0) == []

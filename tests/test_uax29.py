@@ -72,6 +72,9 @@ VECTORS = [
     ("x \U0001d165 y", ["x", "y"]),  # lone SMP combining mark: no token
     # CJK extension B: unigrams like the BMP ideographs
     ("abc\U00020000\U00020001def", ["abc", "\U00020000", "\U00020001", "def"]),
+    # U+05F3 HEBREW PUNCTUATION GERESH is ALetter: part of the word
+    ("ג\u05f3ינס", ["ג\u05f3ינס"]),
+    ("ד\u05f3ר כהן", ["ד\u05f3ר", "כהן"]),
 ]
 
 
