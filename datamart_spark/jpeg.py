@@ -1035,61 +1035,84 @@ def _enc_ac_refine(pw, blocks, ss, se, al):
 def encode_jpeg_progressive(
     img: np.ndarray,
     qtable: np.ndarray | None = None,
+    sampling: tuple[int, int] = (1, 1),
 ) -> bytes:
-    """(h, w[, 1|3]) uint8 → progressive (SOF2) JPEG bytes exercising
-    every annex-G scan type: DC first with point transform (Al=1), DC
-    refinement, per-band AC first scans (Al=1) and AC refinement scans
-    (Ah=1→Al=0) with cross-block EOB runs.  Color images are encoded
-    4:4:4 with per-component (non-interleaved) scans; the decoded
-    result is IDENTICAL to the baseline encoding at the same
-    quantization (same coefficients, different transport)."""
+    """(h, w[, 1|3]) uint8 -> progressive (SOF2) JPEG bytes exercising
+    every annex-G scan type: interleaved DC first with point transform
+    (Al=1), DC refinement, per-component per-band AC first scans (Al=1)
+    and AC refinement scans (Ah=1->Al=0) with cross-block EOB runs.
+
+    ``sampling`` is the LUMA factor for color images ((2, 2) = 4:2:0,
+    the layout real progressive photos use; chroma is 1x1 and
+    box-averaged exactly like encode_jpeg_color).  The decoded result
+    is IDENTICAL to the baseline encoding at the same quantization and
+    sampling (same coefficients, different transport)."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2 or img.shape[2] == 1
     q = STD_LUMA_Q if qtable is None else np.asarray(qtable, dtype=np.int32)
     qz = q.reshape(64)[_ZIGZAG]
+    hs, vs = (1, 1) if gray else sampling
 
     if gray:
-        planes = [img[:, :, 0] if img.ndim == 3 else img]
+        planes_full = [np.asarray(
+            img[:, :, 0] if img.ndim == 3 else img, dtype=np.float64
+        )]
     else:
         r = img[:, :, 0].astype(np.float64)
         g = img[:, :, 1].astype(np.float64)
         b = img[:, :, 2].astype(np.float64)
-        # float planes, NO rounding — exactly encode_jpeg_color's
+        # float planes, NO rounding -- exactly encode_jpeg_color's
         # conversion, so the quantized coefficients (and hence the
         # decoded pixels) are identical to the baseline encoding
-        planes = [
+        planes_full = [
             0.299 * r + 0.587 * g + 0.114 * b,
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
-    h, w = planes[0].shape
+    h, w = planes_full[0].shape
+    mcuw, mcuh = 8 * hs, 8 * vs
+    mcux, mcuy = -(-w // mcuw), -(-h // mcuh)
 
-    # quantized zigzag coefficients per component
-    comp_coefs = []
-    for p in planes:
-        by, bx = -(-h // 8), -(-w // 8)
-        pad = np.pad(np.asarray(p, dtype=np.float64),
-                     ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge") - 128.0
+    # per-component planes at the interleaved grid size; chroma is
+    # box-averaged from the MCU-padded full plane (encode_jpeg_color's
+    # exact arithmetic)
+    pad_full = [
+        np.pad(p, ((0, mcuy * mcuh - h), (0, mcux * mcuw - w)), mode="edge")
+        for p in planes_full
+    ]
+    spec = []  # (grid coefs (gy,gx,64) zigzag, chs, cvs, nbx, nby)
+    for ci, p in enumerate(pad_full):
+        if ci == 0:
+            chs, cvs = hs, vs
+            plane = p
+            comp_w, comp_h = w, h
+        else:
+            chs = cvs = 1
+            plane = p.reshape(mcuy * 8, vs, mcux * 8, hs).mean(axis=(1, 3))
+            comp_w, comp_h = -(-w // hs), -(-h // vs)
+        gy, gx = mcuy * cvs, mcux * chs
         blocks = (
-            pad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            (plane - 128.0)
+            .reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         )
         # chained matmul, NOT einsum: einsum's contraction order differs
         # in float and occasionally rounds a quantized coefficient one
         # step away from the baseline encoder's, breaking bit-identity
         fd = _C @ blocks @ _C.T
-        qc = np.round(fd.reshape(-1, 8, 8) / q).reshape(-1, 64).astype(np.int32)
-        comp_coefs.append(qc[:, _ZIGZAG])  # natural -> zigzag order
+        qc = np.round(fd / q).reshape(-1, 64).astype(np.int32)
+        grid = qc[:, _ZIGZAG].reshape(gy, gx, 64)  # natural -> zigzag
+        spec.append((grid, chs, cvs, -(-comp_w // 8), -(-comp_h // 8)))
 
     out = bytearray(b"\xff\xd8")
 
     def seg(marker: int, body: bytes) -> None:
         out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body)
 
-    n = len(comp_coefs)
+    n = len(spec)
     seg(0xDB, bytes([0x00]) + bytes(int(x) & 0xFF for x in qz))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([n])
-    for ci in range(n):
-        sof += bytes([ci + 1, 0x11, 0])
+    for ci, (_, chs, cvs, _, _) in enumerate(spec):
+        sof += bytes([ci + 1, (chs << 4) | cvs, 0])
     seg(0xC2, sof)
     seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
     seg(0xC4, bytes([0x10]) + bytes(_AC_P_BITS) + bytes(_AC_P_VALS))
@@ -1102,44 +1125,48 @@ def encode_jpeg_progressive(
         seg(0xDA, hdr)
         out.extend(body_bytes)
 
+    def dc_scan(al, refine):
+        """Interleaved-MCU DC scan (the T.81 A.2.3 order the decoder's
+        multi-component branch walks; for one 1x1 component this is the
+        non-interleaved raster order)."""
+        pw = _ProgWriter()
+        preds = [0] * n
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (grid, chs, cvs, _, _) in enumerate(spec):
+                    for byi in range(cvs):
+                        for bxi in range(chs):
+                            c0 = int(grid[my * cvs + byi, mx * chs + bxi, 0])
+                            if refine:
+                                pw.bw.put((c0 >> al) & 1, 1)
+                                continue
+                            v = c0 >> al
+                            d = v - preds[ci]
+                            preds[ci] = v
+                            s = _size_cat(d)
+                            pw.bw.put(*pw.dc_enc[s])
+                            if s:
+                                pw.bw.put(d if d >= 0 else d + (1 << s) - 1, s)
+        return pw.finish_scan()
+
+    def comp_blocks(ci):
+        grid, _, _, nbx, nby = spec[ci]
+        return [grid[by, bx] for by in range(nby) for bx in range(nbx)]
+
     # scan script: DC first (Al=1, interleaved over all components),
     # then per component: AC 1..5 first, AC 6..63 first (Al=1);
     # DC refinement; per component: AC refinements down to Al=0
-    pw = _ProgWriter()
-    if n == 1:
-        _enc_dc_first(pw, comp_coefs[0][:, 0], 1)
-    else:  # interleaved DC scan (all 1x1 ⇒ MCU = one block per comp)
-        preds = [0] * n
-        for bi in range(comp_coefs[0].shape[0]):
-            for ci in range(n):
-                v = int(comp_coefs[ci][bi, 0]) >> 1
-                d = v - preds[ci]
-                preds[ci] = v
-                s = _size_cat(d)
-                pw.bw.put(*pw.dc_enc[s])
-                if s:
-                    pw.bw.put(d if d >= 0 else d + (1 << s) - 1, s)
-    sos(list(range(1, n + 1)), 0, 0, 0, 1, pw.finish_scan())
-
+    sos(list(range(1, n + 1)), 0, 0, 0, 1, dc_scan(1, refine=False))
     for ci in range(n):
         for (ss, se) in ((1, 5), (6, 63)):
             pw = _ProgWriter()
-            _enc_ac_first(pw, comp_coefs[ci], ss, se, 1)
+            _enc_ac_first(pw, comp_blocks(ci), ss, se, 1)
             sos([ci + 1], ss, se, 0, 1, pw.finish_scan())
-
-    pw = _ProgWriter()
-    if n == 1:
-        _enc_dc_refine(pw, comp_coefs[0][:, 0], 0)
-    else:
-        for bi in range(comp_coefs[0].shape[0]):
-            for ci in range(n):
-                pw.bw.put(int(comp_coefs[ci][bi, 0]) & 1, 1)
-    sos(list(range(1, n + 1)), 0, 0, 1, 0, pw.finish_scan())
-
+    sos(list(range(1, n + 1)), 0, 0, 1, 0, dc_scan(0, refine=True))
     for ci in range(n):
         for (ss, se) in ((1, 5), (6, 63)):
             pw = _ProgWriter()
-            _enc_ac_refine(pw, comp_coefs[ci], ss, se, 0)
+            _enc_ac_refine(pw, comp_blocks(ci), ss, se, 0)
             sos([ci + 1], ss, se, 1, 0, pw.finish_scan())
 
     out.extend(b"\xff\xd9")

@@ -199,6 +199,33 @@ def test_progressive_identical_to_baseline():
     ).all()
 
 
+@pytest.mark.parametrize("sampling", [(2, 2), (2, 1), (1, 2)])
+def test_progressive_subsampled_identical_to_baseline(sampling):
+    """Subsampled progressive — the layout real progressive photos use
+    (4:2:0) — exercises the decoder's interleaved DC scan over
+    multi-block MCUs plus per-component AC scans on differently-sized
+    block grids; must still decode bit-identically to baseline."""
+    from datamart_spark.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (25, 19, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_color(img, sampling=sampling,
+                                         luma_q=ONES, chroma_q=ONES))
+    prog = decode_jpeg(encode_jpeg_progressive(img, qtable=ONES,
+                                               sampling=sampling))
+    assert (base == prog).all()
+    # standard table at 4:2:0 on a ramp (one qtable on both sides)
+    yy, xx = np.mgrid[0:33, 0:47]
+    img3 = np.stack(
+        [(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_color(img3, sampling=sampling,
+                                      chroma_q=STD_LUMA_Q))
+        == decode_jpeg(encode_jpeg_progressive(img3, sampling=sampling))
+    ).all()
+
+
 def test_progressive_feature_extractor_and_meta():
     """A progressive payload flows through the same multimodal surface:
     header sniff reports SOF2 dimensions, extractor decodes pixels."""
