@@ -303,6 +303,41 @@ def build_index(
 ) -> dict:
     """Full or incremental build.  Returns the committed snapshot.
 
+    Failure atomicity (ADVICE r4): if the build fails by RAISING — a
+    Spark job abort, OOM-killed stage, analysis error — rather than by
+    process death, the writer process stays alive, so the pid-liveness
+    probe in ``recover()`` would treat its staged swaps as in-flight
+    forever and queries in the same driver would silently read the
+    half-swapped tables.  The exception path therefore rolls back this
+    build's own staged mutations (``catalog.rollback_own()``) before
+    propagating: the committed snapshot again reads exactly its own
+    data.  Resolution is snapshot-decided, so a failure AFTER the
+    commit finalizes forward instead of undoing it.
+    """
+    try:
+        return _build_index_impl(
+            docs, catalog, n_shards=n_shards, stemming=stemming,
+            resume=resume, n_docs=n_docs, only_shards=only_shards,
+            title_boost=title_boost, tokenizer=tokenizer,
+        )
+    except BaseException:
+        catalog.rollback_own()
+        raise
+
+
+def _build_index_impl(
+    docs: DataFrame,
+    catalog: IndexCatalog,
+    n_shards: int | None = None,
+    stemming: bool = True,
+    resume: bool = True,
+    n_docs: int | None = None,
+    only_shards: list[int] | None = None,
+    title_boost: int | None = None,
+    tokenizer: str | None = None,
+) -> dict:
+    """Build body — call through ``build_index`` (the rollback wrapper).
+
     Resumable (north rule: per-partition lineage + metrics):
     - shards already committed in the current snapshot are skipped;
       only missing shards are built (validated against the actual
@@ -502,6 +537,16 @@ def build_index(
 
     stat_jobs.append(pool.submit(_doc_stats_and_avgdl))
 
+    def _drain_stats_quietly() -> None:
+        """On a main-thread failure, wait out the stats thread before
+        the ``build_index`` wrapper rolls back — its staged doc_stats
+        rewrite must finish (or fail) first, not race the rollback."""
+        for j in stat_jobs:
+            try:
+                j.result()
+            except Exception:
+                pass
+
     if todo:
         tok = tdf.where(F.col("kind") == "t")  # partition-pruned
         if len(todo) < n_shards:
@@ -537,16 +582,20 @@ def build_index(
             )
             .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
         )
-        if fresh:
-            catalog.write(
-                postings, "postings", partition_by=["shard"],
-                options=POSTINGS_WRITE_OPTIONS,
-            )
-        else:  # staged + deferred (see tokens rewrite above)
-            catalog.rewrite_partitions(
-                postings, "postings", todo,
-                defer_cleanup=True, options=POSTINGS_WRITE_OPTIONS,
-            )
+        try:
+            if fresh:
+                catalog.write(
+                    postings, "postings", partition_by=["shard"],
+                    options=POSTINGS_WRITE_OPTIONS,
+                )
+            else:  # staged + deferred (see tokens rewrite above)
+                catalog.rewrite_partitions(
+                    postings, "postings", todo,
+                    defer_cleanup=True, options=POSTINGS_WRITE_OPTIONS,
+                )
+        except BaseException:
+            _drain_stats_quietly()
+            raise
         mark("postings")
     for j in stat_jobs:
         j.result()

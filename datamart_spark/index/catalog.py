@@ -52,6 +52,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,6 +62,12 @@ class IndexCatalog:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # Identifies markers THIS instance wrote: recover()'s pid-liveness
+        # probe protects in-flight writers from concurrent queries, but a
+        # writer that FAILS BY RAISING (job abort, executor loss) is
+        # still alive — it must be able to roll back its own staged
+        # swaps, which rollback_own() authorizes via this token.
+        self._writer_token = uuid.uuid4().hex
         # DataFrame handles memoized per (spark app, table, snapshot):
         # re-creating spark.read.parquet(...) per query re-lists the
         # table's files and re-reads footers for schema inference —
@@ -203,6 +210,7 @@ class IndexCatalog:
                     "deferred": defer_cleanup,
                     "snap_seq": snap["sequence"] if snap else 0,
                     "pid": os.getpid(),
+                    "token": self._writer_token,
                 },
                 f,
             )
@@ -257,6 +265,7 @@ class IndexCatalog:
                     "deferred": True,
                     "snap_seq": snap["sequence"] if snap else 0,
                     "pid": os.getpid(),
+                    "token": self._writer_token,
                 },
                 f,
             )
@@ -306,7 +315,21 @@ class IndexCatalog:
         except OSError:
             return False
 
-    def recover(self, force: bool = False) -> list[str]:
+    def rollback_own(self) -> list[str]:
+        """Resolve pending markers THIS catalog instance wrote, ignoring
+        the writer-liveness probe — for the in-process failure path
+        (ADVICE r4): a build/delete that fails by RAISING leaves the
+        writer alive, so a later query's ``recover()`` would skip its
+        half-swapped tables forever and ``read_snapshot`` would serve
+        them silently under the old snapshot.  The failing mutation
+        calls this from its exception handler; resolution direction is
+        still snapshot-decided (commit landed ⇒ forward, else back), so
+        calling it after a post-commit failure is a finalize, not an
+        undo."""
+        return self.recover(own_token=self._writer_token)
+
+    def recover(self, force: bool = False,
+                own_token: str | None = None) -> list[str]:
         """Resolve any rewrite that crashed mid-mutation, in the
         direction the snapshot log decided:
 
@@ -318,7 +341,9 @@ class IndexCatalog:
           crashed — leave it alone (rolling back a live writer's swaps
           from a concurrent query would corrupt its run); the local-mode
           stand-in for Iceberg's commit lease is a same-host pid probe,
-          overridable with ``force=True`` after pid reuse;
+          overridable with ``force=True`` after pid reuse, and bypassed
+          for markers whose ``token`` matches ``own_token`` (the
+          ``rollback_own`` path: the failing writer IS this process);
         - otherwise the writer is dead and the commit never happened —
           roll back: restore each partition whose backup survives, and
           delete partitions the marker says had no prior directory
@@ -333,7 +358,9 @@ class IndexCatalog:
                 payload.get("deferred", False)
                 and cur_seq > payload.get("snap_seq", cur_seq)
             )
-            if not committed and not force and self._writer_alive(payload):
+            mine = own_token is not None and payload.get("token") == own_token
+            if not committed and not force and not mine \
+                    and self._writer_alive(payload):
                 continue  # in-flight deferred mutation — not ours to undo
             if payload.get("whole_table"):
                 backup = self._table_backup_path(name)

@@ -33,6 +33,24 @@ def delete_docs(
     doc_ids: list[int] | None = None,
     urls: list[str] | None = None,
 ) -> dict:
+    """Rollback wrapper over ``_delete_docs_impl`` (ADVICE r4): a delete
+    that fails by raising leaves this process alive, so ``recover()``'s
+    pid-liveness probe would skip its staged swaps forever — roll back
+    our own markers before propagating.  Snapshot-decided: a failure
+    after the commit finalizes forward."""
+    try:
+        return _delete_docs_impl(spark, catalog, doc_ids=doc_ids, urls=urls)
+    except BaseException:
+        catalog.rollback_own()
+        raise
+
+
+def _delete_docs_impl(
+    spark: SparkSession,
+    catalog: IndexCatalog,
+    doc_ids: list[int] | None = None,
+    urls: list[str] | None = None,
+) -> dict:
     """Remove documents (by doc_id and/or url) from every index table,
     rebuilding only the shard partitions that contained them.  Returns
     the new committed snapshot.

@@ -175,6 +175,12 @@ def _read_sav(path: str):
     def num(e) -> float:
         if isinstance(e, float):
             return e
+        if e == b"        ":
+            # compression code 254 (all-spaces element) reaching a
+            # NUMERIC variable: only on malformed/unusual files —
+            # unpacking the 8 spaces would yield a garbage double
+            # (~7.3e228); treat as system-missing (ADVICE r4)
+            return _SYSMIS
         return struct.unpack(en + "d", e)[0]
 
     def raw(e) -> bytes:

@@ -265,7 +265,7 @@ def temporal_resolution_events(spark, sf_dir):
         .agg(F.count_distinct("ts").alias("c"))
         .agg(F.round(F.avg("c"), 4).alias("per_day"))
     )
-    return h.crossJoin(d)
+    return h.crossJoin(F.broadcast(d))  # both sides are 1-row aggregates
 
 
 @register(

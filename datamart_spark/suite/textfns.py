@@ -778,9 +778,10 @@ def corpus_curation(spark, sf_dir):
     exact-dup drop (md5 keeper groups) -> minimum length -> quality
     threshold, first failing rule wins; reports per-(lang, reason) doc
     and token counts — the accounting a data-mixing run starts from.
-    One hash-groupBy + one broadcast-joinable keeper map + narrow array
-    expressions: two shuffles total at any corpus size, no Python in
-    the loop."""
+    One hash-groupBy + one shuffled equi-join back to the doc-scale
+    keeper map (it has one row per distinct text, so it is NOT
+    broadcastable at corpus scale) + narrow array expressions: two
+    shuffles total at any corpus size, no Python in the loop."""
     docs = table(spark, sf_dir, "documents")
     h = docs.select(
         "doc_id", "lang", F.md5("text").alias("th"),

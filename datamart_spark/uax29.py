@@ -117,8 +117,13 @@ _COARSE = re.compile(
     rf"|[{_HIRA}][{_EXT}]*"                   # hiragana unigram
     rf"|[{_RI}]{{1,2}}"                       # flag = RI pair (WB15/16)
     # word with candidate mid-joiners; an optional TRAILING single quote
-    # after a Hebrew letter (WB7a) — validated in _split_invalid_mids
-    rf"|{_WCE}(?:[{_MIDS}][{_EXT}]*{_WCE})*(?:(?<=[{_HEB}])')?"
+    # (WB7a geresh candidate) — _split_invalid_mids validates it by
+    # walking back over any Extend/Format run to the base letter, so no
+    # Hebrew lookbehind here: a WB4-transparent combining point between
+    # the Hebrew letter and the quote would defeat a literal
+    # ``(?<=[HEB])'`` (ADVICE r4); an invalid trailing quote is split
+    # off (dropped) by the same validation, matching the old behavior
+    rf"|{_WCE}(?:[{_MIDS}][{_EXT}]*{_WCE})*'?"
 )
 
 # a document needs the full grammar only if it has CJK, Extend/Format,

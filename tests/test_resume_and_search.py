@@ -242,9 +242,14 @@ def test_grown_build_crash_before_commit_rolls_back(spark, tmp_path):
     q = f"{_VOCAB[40]} {_VOCAB[300]}"
     before = _topk(spark, cat, q)
 
+    # simulate PROCESS DEATH: call the impl directly — the public
+    # build_index wrapper would roll back an in-process exception itself
+    # (covered by test_build_failure_in_process_rolls_back)
+    from datamart_spark.index.build import _build_index_impl
+
     cat.commit_snapshot = _boom  # crash between table swaps and commit
     with pytest.raises(RuntimeError, match="simulated crash"):
-        build_index(generate_documents(spark, 800), cat)
+        _build_index_impl(generate_documents(spark, 800), cat)
     _mark_writers_dead(cat)  # the "crashed" writer is this live process
 
     # a new process: fresh catalog object; the query path auto-recovers
@@ -278,9 +283,11 @@ def test_grown_build_crash_after_commit_rolls_forward(spark, tmp_path):
     cat = IndexCatalog(root)
     build_index(generate_documents(spark, 450), cat, n_shards=4, resume=False)
 
+    from datamart_spark.index.build import _build_index_impl
+
     cat.finalize_pending = _boom  # crash right after the commit
     with pytest.raises(RuntimeError, match="simulated crash"):
-        build_index(generate_documents(spark, 800), cat)
+        _build_index_impl(generate_documents(spark, 800), cat)
     _mark_writers_dead(cat)
 
     cat2 = IndexCatalog(root)
@@ -311,9 +318,11 @@ def test_delete_crash_before_commit_rolls_back_everywhere(spark, tmp_path):
     before = _topk(spark, cat, q, k=10)
     ts_before = cat.read(spark, "term_stats").count()
 
+    from datamart_spark.index.maintenance import _delete_docs_impl
+
     cat.commit_snapshot = _boom
     with pytest.raises(RuntimeError, match="simulated crash"):
-        delete_docs(spark, cat, doc_ids=[5, 6, 200])
+        _delete_docs_impl(spark, cat, doc_ids=[5, 6, 200])
     _mark_writers_dead(cat)
 
     cat2 = IndexCatalog(root)
@@ -362,6 +371,76 @@ def test_delete_then_ingest_never_reuses_doc_ids(spark, tmp_path):
     ids = {r["doc_id"] for r in ds.select("doc_id").collect()}
     assert not ({0, 1, 2} & ids)
     assert max(ids) == 499
+
+
+def test_build_failure_in_process_rolls_back(spark, tmp_path):
+    """ADVICE r4 (medium): a grown build that FAILS BY RAISING — the
+    process stays alive — must roll back its own staged swaps before
+    propagating.  Without this, recover()'s writer-liveness probe skips
+    the markers forever and read_snapshot in the same driver silently
+    serves half-swapped tables under the old snapshot."""
+    root = str(tmp_path / "ip")
+    cat = IndexCatalog(root)
+    build_index(generate_documents(spark, 450), cat, n_shards=4, resume=False)
+    q = f"{_VOCAB[40]} {_VOCAB[300]}"
+    before = _topk(spark, cat, q)
+
+    cat.commit_snapshot = _boom  # in-process job failure before commit
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_index(generate_documents(spark, 800), cat)
+    # NO _mark_writers_dead, NO new catalog object: the SAME live
+    # process must already be consistent
+    del cat.commit_snapshot  # restore the class method
+    assert not cat._pending_markers()
+    assert cat.current_snapshot()["n_docs"] == 450
+    assert _topk(spark, cat, q) == before
+    assert cat.read(spark, "doc_stats").count() == 450
+
+    # and the same catalog instance can immediately build again
+    m = build_index(generate_documents(spark, 800), cat)
+    assert m["n_docs"] == 800
+
+
+def test_build_failure_after_commit_finalizes_forward(spark, tmp_path):
+    """In-process failure AFTER the snapshot commit must finalize
+    forward (the commit decided), not undo the committed mutation."""
+    root = str(tmp_path / "ipf")
+    cat = IndexCatalog(root)
+    build_index(generate_documents(spark, 450), cat, n_shards=4, resume=False)
+
+    cat.finalize_pending = _boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_index(generate_documents(spark, 800), cat)
+    del cat.finalize_pending
+    assert not cat._pending_markers()
+    assert cat.current_snapshot()["n_docs"] == 800
+    q = f"{_VOCAB[40]} {_VOCAB[300]}"
+    fresh = IndexCatalog(str(tmp_path / "ipf_fresh"))
+    build_index(generate_documents(spark, 800), fresh, resume=False)
+    assert _topk(spark, cat, q) == _topk(spark, fresh, q)
+
+
+def test_delete_failure_in_process_rolls_back(spark, tmp_path):
+    """Same contract for delete_docs: an in-process failure restores the
+    committed state immediately, in the same live driver."""
+    from datamart_spark.index import delete_docs
+
+    root = str(tmp_path / "ipd")
+    cat = IndexCatalog(root)
+    build_index(generate_documents(spark, 300), cat, n_shards=4, resume=False)
+    q = f"{_VOCAB[40]} {_VOCAB[120]}"
+    before = _topk(spark, cat, q, k=10)
+
+    cat.commit_snapshot = _boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        delete_docs(spark, cat, doc_ids=[5, 6, 200])
+    del cat.commit_snapshot
+    assert not cat._pending_markers()
+    assert _topk(spark, cat, q, k=10) == before
+    assert cat.read(spark, "doc_stats").count() == 300
+
+    m = delete_docs(spark, cat, doc_ids=[5, 6, 200])
+    assert m["n_docs"] == 297
 
 
 def test_recover_skips_live_writers(spark, tmp_path):

@@ -186,6 +186,37 @@ _SAV_EXPECT = (
 )
 
 
+def test_sav_allspaces_numeric_is_sysmis(tmp_path):
+    """ADVICE r4 (low): compression code 254 (all-spaces element) on a
+    NUMERIC variable — malformed/unusual, but representable — must read
+    as system-missing, not as the 8 space bytes unpacked into the
+    garbage double ~7.3e228."""
+    import struct
+
+    def pad(b, n, fill=b" "):
+        return b + fill * (n - len(b))
+
+    out = bytearray()
+    out += b"$FL2" + pad(b"@(#) TEST", 60)
+    out += struct.pack("<iiiii", 2, 1, 1, 0, 2)  # 1 var, compressed, 2 cases
+    out += struct.pack("<d", 100.0)
+    out += pad(b"01 Jan 26", 9) + pad(b"00:00:00", 8)
+    out += pad(b"test file", 64) + b"\x00" * 3
+    fmt = (5 << 16) | (8 << 8)
+    out += struct.pack("<iiiii", 2, 0, 0, 0, fmt) + struct.pack("<i", fmt)
+    out += pad(b"X", 8)
+    out += struct.pack("<ii", 999, 0)
+    out += bytes([101, 254, 252, 0, 0, 0, 0, 0])  # X=1; X=<spaces>; EOF
+    src = tmp_path / "sp.sav"
+    src.write_bytes(bytes(out))
+
+    dst = tmp_path / "sp.csv"
+    CONVERTERS["spss"](str(src), str(dst))
+    # the lone empty field is quoted ("") — csv's disambiguation from a
+    # blank line; the point is: system-missing, not 7.3e228
+    assert open(dst, "rb").read().decode() == 'X\r\n1\r\n""\r\n'
+
+
 @pytest.mark.parametrize("compressed", [True, False])
 def test_sav_to_csv_stdlib(tmp_path, compressed):
     """S8 real converter (reference parity lib_materialize/spss.py:6-13):

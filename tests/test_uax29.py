@@ -58,6 +58,11 @@ VECTORS = [
     ("א'", ["א'"]),
     ("ג'ון אמר", ["ג'ון", "אמר"]),
     ("abc' def", ["abc", "def"]),  # Latin trailing quote still drops
+    # WB4 transparency inside WB7a (ADVICE r4): a combining point
+    # between the Hebrew letter and the geresh quote must not defeat it
+    ("אִ'", ["אִ'"]),          # hiriq (Mn) before the quote
+    ("רְִ' ב", ["רְִ'", "ב"]),  # Extend RUN (len 2)
+    ("ś' t", ["ś", "t"]),    # non-Hebrew base: still drops
     # WB15/WB16: regional indicators pair from the left
     ("\U0001f1fa\U0001f1f8", ["\U0001f1fa\U0001f1f8"]),
     ("\U0001f1fa\U0001f1f8\U0001f1eb\U0001f1f7",
