@@ -27,13 +27,20 @@ Method notes (measured facts on this sandbox, NOTES_SCALING.md):
   — survives host weather.  Peak throughput is measured separately at
   local[16];
 - each timed build runs in a FRESH SparkSession on the same input,
-  after a 10% pilot build that warms JVM JIT (C2-compiling the parquet
+  after a pilot build that warms JVM JIT (C2-compiling the parquet
   + Arrow hot loops is worth 2-3× on the first full-size job) and the
-  python workers (imports).  On a long-lived cluster neither cost is
-  per-build; excluding them is standard steady-state benchmarking;
+  python workers (imports) — 10% of the corpus, 25% at the LOW level,
+  where r4 showed a 10% pilot leaves the single thread under-warmed
+  (VERDICT r4 #3: superlinear 1.162 efficiency = inflated t_low).  On
+  a long-lived cluster neither cost is per-build; excluding them is
+  standard steady-state benchmarking;
 - levels alternate low,high,high,low and each level takes its MIN
   (shared-host noise is one-sided: it only slows runs); if efficiency
-  still lands under 0.84, one extra pair is measured;
+  still lands under 0.84, one extra pair is measured; then each level
+  re-runs (bounded) until its two FASTEST times agree within 15%, so
+  the reported min is a converged steady-state estimate;
+- the robustness build is min-of-2 fresh-session builds (VERDICT r4
+  #2: its single shot regressed 39% on unchanged code — host noise);
 - p50 latency is per-query wall time of the block-max path, median
   over the 50-query reference set.
 """
@@ -112,27 +119,37 @@ def materialize_corpus(n_docs: int = N_DOCS, corpus_dir: str = CORPUS_DIR) -> No
     spark.stop()
 
 
-def robustness_build() -> dict:
-    """One timed build at ROBUST_DOCS (2.5× the bench size) on the peak
+def robustness_build(n_docs: int = ROBUST_DOCS,
+                     repeats: int = REPEATS) -> dict:
+    """Timed builds at ``n_docs`` (2.5× the bench size) on the peak
     level: catches footguns that only appear past the tuning point
-    (Arrow offset overflow, block fragmentation, shuffle spill)."""
-    corpus = f"/tmp/bench_corpus_{ROBUST_DOCS}"
-    materialize_corpus(ROBUST_DOCS, corpus)
+    (Arrow offset overflow, block fragmentation, shuffle spill).
+    MIN of ``repeats`` single-shot builds, each in a fresh session —
+    the r4 official number regressed 39% on unchanged code because one
+    single-shot build met a co-tenant spike (VERDICT r4 #2); noise is
+    one-sided, so min-of-repeats is the same honest estimator the
+    suite queries and the scaling pair already use."""
+    corpus = f"/tmp/bench_corpus_{n_docs}"
+    materialize_corpus(n_docs, corpus)
     from datamart_spark.index import IndexCatalog, build_index
 
-    spark = _session(PEAK_CPUS, "bench_robust")
-    docs = spark.read.parquet(corpus)
-    root = f"{WORK_DIR}_robust"
-    shutil.rmtree(root, ignore_errors=True)
-    cat = IndexCatalog(root)
-    t0 = time.time()
-    m = build_index(docs, cat, resume=False, n_docs=ROBUST_DOCS)
-    elapsed = time.time() - t0
-    spark.stop()
+    times, m = [], None
+    for _ in range(max(1, repeats)):
+        spark = _session(PEAK_CPUS, "bench_robust")
+        docs = spark.read.parquet(corpus)
+        root = f"{WORK_DIR}_robust"
+        shutil.rmtree(root, ignore_errors=True)
+        cat = IndexCatalog(root)
+        t0 = time.time()
+        m = build_index(docs, cat, resume=False, n_docs=n_docs)
+        times.append(time.time() - t0)
+        spark.stop()
+    elapsed = min(times)
     return {
-        "n_docs": ROBUST_DOCS,
+        "n_docs": n_docs,
         "build_sec": round(elapsed, 3),
-        "docs_per_sec": round(ROBUST_DOCS / elapsed, 1),
+        "build_sec_all": [round(t, 1) for t in times],
+        "docs_per_sec": round(n_docs / elapsed, 1),
         "total_postings": sum(v["postings"] for v in m["shards"].values()),
         "total_blocks": sum(v["blocks"] for v in m["shards"].values()),
         "n_shards": m["n_shards"],
@@ -147,10 +164,16 @@ def timed_build(cpus: int) -> tuple[float, dict]:
     spark = _session(cpus, f"bench_build_{cpus}")
     docs = spark.read.parquet(CORPUS_DIR)
 
-    # steady-state warm-up: 10% pilot build (JIT + python-worker spawn)
+    # steady-state warm-up: pilot build (JIT + python-worker spawn).
+    # The LOW level gets a 25% pilot: r4's local[1] first run was 76%
+    # slower than its second (t_low_all [230.0, 130.6]) — a 10% pilot
+    # does not fully amortize C2 + page-cache warm-up when one thread
+    # does all the work, and an inflated t_low reads as SUPERLINEAR
+    # efficiency, which weakens the scaling evidence (VERDICT r4 #3)
     warm_cat = IndexCatalog(f"{WORK_DIR}_warm_{cpus}")
     warm_cat.drop()
-    pilot = max(1000, N_DOCS // 10)
+    frac = 4 if cpus == LOW_CPUS else 10
+    pilot = max(1000, N_DOCS // frac)
     build_index(docs.where(F.col("doc_id") < pilot), warm_cat,
                 resume=False, n_docs=pilot)
     warm_cat.drop()
@@ -264,7 +287,7 @@ local[{s['peak_cpus']}] = {s['docs_per_sec_peak']:.0f} docs/sec.
 
 p50 = {result['bm25_p50_sec']:.3f} s/query (block-max DAAT kernel path).
 
-## Robustness ({result['robustness']['n_docs']} docs, single build @ local[{PEAK_CPUS}])
+## Robustness ({result['robustness']['n_docs']} docs, min of {len(result['robustness']['build_sec_all'])} fresh-session builds @ local[{PEAK_CPUS}])
 
 {result['robustness']['docs_per_sec']:.0f} docs/sec,
 {result['robustness']['total_postings']} postings,
@@ -295,14 +318,17 @@ def main() -> None:
     t_lows, t_highs = [], []
     manifest = None
 
-    def run_pair(reverse: bool) -> None:
+    def run_level(cpus: int) -> None:
         nonlocal manifest
+        t, m = timed_build(cpus)
+        (t_highs if cpus == HIGH_CPUS else t_lows).append(t)
+        if cpus == HIGH_CPUS:
+            manifest = m
+
+    def run_pair(reverse: bool) -> None:
         order = (HIGH_CPUS, LOW_CPUS) if reverse else (LOW_CPUS, HIGH_CPUS)
         for cpus in order:
-            t, m = timed_build(cpus)
-            (t_highs if cpus == HIGH_CPUS else t_lows).append(t)
-            if cpus == HIGH_CPUS:
-                manifest = m
+            run_level(cpus)
 
     for i in range(REPEATS):
         run_pair(reverse=(i % 2 == 1))
@@ -313,6 +339,23 @@ def main() -> None:
             break
         extra += 1
         run_pair(reverse=(extra % 2 == 0))
+
+    def spread(ts: list[float]) -> float:
+        """Gap between the two FASTEST runs of a level: when it is wide
+        the min is not yet a converged steady-state estimate."""
+        if len(ts) < 2:
+            return 0.0
+        a, b = sorted(ts)[:2]
+        return (b - a) / a
+
+    # converge each level until its two best runs agree within 15%
+    # (bounded): r4's t_low_all spread of 76% made the 1.162 efficiency
+    # read as warm-up asymmetry rather than engine scaling
+    for cpus, ts in ((LOW_CPUS, t_lows), (HIGH_CPUS, t_highs)):
+        reruns = 0
+        while spread(ts) > 0.15 and reruns < MAX_EXTRA_PAIRS:
+            run_level(cpus)
+            reruns += 1
 
     t_low, t_high = min(t_lows), min(t_highs)
     # peak single-node throughput (informational): the largest level the
@@ -345,6 +388,8 @@ def main() -> None:
             "t_high_sec": round(t_high, 3),
             "t_low_all": [round(t, 1) for t in t_lows],
             "t_high_all": [round(t, 1) for t in t_highs],
+            "t_low_spread": round(spread(t_lows), 3),
+            "t_high_spread": round(spread(t_highs), 3),
             "pairs_measured": len(t_lows),
             "docs_per_sec_low": round(N_DOCS / t_low, 1),
             "docs_per_sec_high": round(N_DOCS / t_high, 1),

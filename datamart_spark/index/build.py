@@ -277,7 +277,9 @@ def _shard_col(width: int):
     return (F.col("doc_id") / width).cast("int")
 
 
-def default_n_shards(n_docs: int, docs_per_shard: int = 250_000) -> int:
+def default_n_shards(n_docs: int, docs_per_shard: int = 250_000,
+                     parallelism: int | None = None,
+                     min_docs_per_shard: int = 30_000) -> int:
     """Doc-range shard sizing: bounded per-shard state for the query
     kernel (doclen arrays, candidate sets), the salt granularity for
     stopword terms, AND the encode-task memory contract (one whole
@@ -286,8 +288,20 @@ def default_n_shards(n_docs: int, docs_per_shard: int = 250_000) -> int:
     ~250k docs/shard ⇒ 4M shards at 10^12 docs — each an independent
     task; at test scale a handful of shards, so posting blocks stay
     full (fragmenting every term across O(cores) shards was measured
-    5× slower at 20k docs)."""
-    return max(8, (n_docs + docs_per_shard - 1) // docs_per_shard)
+    5× slower at 20k docs).
+
+    ``parallelism`` (the cluster's task slots) raises the floor for
+    MID-SIZE corpora: at 2M docs the bare ceil gives 8 whole-shard
+    encode tasks, idling half a 16-slot machine through the longest
+    build phase (VERDICT r4: the measured local throughput ceiling).
+    The floor never exceeds ``n_docs // min_docs_per_shard`` — splitting
+    a small corpus across O(slots) shards fragments every term's posting
+    blocks (the 5× regression above), so tiny corpora keep few shards
+    and huge corpora are governed by the ceil term anyway."""
+    floor = 8
+    if parallelism:
+        floor = max(floor, min(parallelism, n_docs // min_docs_per_shard))
+    return max(floor, (n_docs + docs_per_shard - 1) // docs_per_shard)
 
 
 def build_index(
@@ -431,7 +445,9 @@ def _build_index_impl(
     else:
         old_n = 0
         if n_shards is None:
-            n_shards = default_n_shards(n_docs)
+            n_shards = default_n_shards(
+                n_docs, parallelism=spark.sparkContext.defaultParallelism
+            )
         width = max(1, -(-n_docs // n_shards)) if n_docs else 1
     shard = _shard_col(width)
     grown = snap is not None and n_docs > old_n

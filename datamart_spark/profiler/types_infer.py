@@ -30,6 +30,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
+from . import gazetteer
+
 MAX_UNCLEAN = 0.02
 MAX_CATEGORICAL_RATIO = 0.10
 
@@ -76,6 +78,8 @@ class ColumnProfile:
     stddev: float | None = None
     ranges: list[tuple[float, float]] | None = None
     temporal_resolution: str | None = None
+    admin_area_level: int | None = None
+    admin_bounds: tuple[float, float, float, float] | None = None
 
 
 def _is_id_name(name: str) -> bool:
@@ -142,11 +146,23 @@ def profile_dataframe(
                 ).otherwise(0)
             ).alias(f"{c}__long"),
         ]
+        # AdministrativeArea resolution counters (gazetteer.py): the
+        # vendored name lists ride the SAME single pass as JVM-side
+        # `isin` literals — no extra scan, no UDF (reference resolves
+        # via datamart-geo sqlite per value, profile_types.py:199-203)
+        nm = F.regexp_replace(F.trim(F.lower(v)), r"\s+", " ")
+        for lvl, names in sorted(gazetteer.NAMES_BY_LEVEL.items()):
+            aggs.append(
+                F.sum(
+                    F.when(nonempty & nm.isin(names), 1).otherwise(0)
+                ).alias(f"{c}__adm{lvl}")
+            )
     row = df.agg(*aggs).collect()[0]
 
     profiles: list[ColumnProfile] = []
     numeric_cols: list[str] = []
     temporal_cols: list[str] = []
+    admin_cols: list[str] = []
     for c in cols:
         rows = row[f"{c}__rows"]
         empty = row[f"{c}__empty"]
@@ -195,9 +211,54 @@ def profile_dataframe(
         elif p.structural_type == TYPE_TEXT and unclean_ts <= MAX_UNCLEAN:
             p.semantic_types.append(SEM_DATETIME)
             temporal_cols.append(c)
+        # AdministrativeArea: >70% of the column resolves against the
+        # gazetteer (profile_types.py:199-203; denominator is the WHOLE
+        # column incl. empties, matching the reference's len(array));
+        # an admin column is categorical regardless of distinct ratio
+        if p.structural_type == TYPE_TEXT:
+            counts = {
+                lvl: int(row[f"{c}__adm{lvl}"])
+                for lvl in gazetteer.NAMES_BY_LEVEL
+            }
+            if sum(counts.values()) > gazetteer.ADMIN_RESOLUTION_THRESHOLD * rows:
+                p.semantic_types.append(gazetteer.SEM_ADMIN)
+                if SEM_ENUMERATION not in p.semantic_types:
+                    p.semantic_types.append(SEM_ENUMERATION)
+                p.admin_area_level = gazetteer.admin_level_for(counts, rows)
+                admin_cols.append(c)
         if p.structural_type in (TYPE_INTEGER, TYPE_FLOAT):
             numeric_cols.append(c)
         profiles.append(p)
+
+    if admin_cols:
+        # merged coverage envelope per admin column (core.py:640-668):
+        # one broadcast join of the tiny area table against each admin
+        # column's normalized values — admin columns are rare, the scan
+        # is a single narrow column, and the join side is ~200 rows
+        spark = df.sparkSession
+        adf = F.broadcast(spark.createDataFrame(
+            [(nm, mn_lat, mx_lat, mn_lon, mx_lon)
+             for nm, _lvl, mn_lat, mx_lat, mn_lon, mx_lon
+             in gazetteer.AREA_ROWS],
+            "nm string, mn_lat double, mx_lat double, "
+            "mn_lon double, mx_lon double",
+        ))
+        by_name_adm = {p.name: p for p in profiles}
+        for c in admin_cols:
+            nmc = F.regexp_replace(
+                F.trim(F.lower(F.col(c).cast("string"))), r"\s+", " "
+            ).alias("nm")
+            r = (
+                df.select(nmc).join(adf, "nm")
+                .agg(F.min("mn_lat"), F.max("mx_lat"),
+                     F.min("mn_lon"), F.max("mx_lon"))
+                .collect()[0]
+            )
+            if r[0] is not None:
+                b = (float(r[0]), float(r[1]), float(r[2]), float(r[3]))
+                # the reference keeps only non-degenerate envelopes
+                if b[1] - b[0] > 0.01 and b[3] - b[2] > 0.01:
+                    by_name_adm[c].admin_bounds = b
 
     if numeric_cols:
         stat_aggs = []

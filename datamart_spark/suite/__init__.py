@@ -95,6 +95,7 @@ _TAIL = [
     "lsh_bucket_histogram",  # LSH bucketing gated by ann_lsh_candidates / ann_multiband_candidates
     "label_centroid_norm",  # centroid + norm exprs gated by ann_ivf_probe
     "bm25_indexed_stopword_and",  # stopword-heavy WAND gated by pytest rank-identity + bm25_indexed_and
+    "ngram_jaccard_pairs",  # the same Jaccard expression gates inside dedup_pipeline's verify stage
 ]
 
 

@@ -421,6 +421,94 @@ def profile_columns_documents(spark, sf_dir):
     return lang.unionByName(src).orderBy("column_name")
 
 
+def _gaz_sql_list(level: int) -> str:
+    from ..profiler.gazetteer import NAMES_BY_LEVEL
+
+    return ", ".join(f"'{n}'" for n in sorted(NAMES_BY_LEVEL.get(level, [])))
+
+
+@register(
+    "admin_area_profile",
+    f"""
+WITH s AS (
+  SELECT 'nation.n_name' AS column_name, count(*) AS n_rows,
+         sum(CASE WHEN regexp_replace(trim(lower(n_name)), '\\s+', ' ', 'g')
+                  IN ({_gaz_sql_list(0)}) THEN 1 ELSE 0 END)::bigint AS res0,
+         sum(CASE WHEN regexp_replace(trim(lower(n_name)), '\\s+', ' ', 'g')
+                  IN ({_gaz_sql_list(1)}) THEN 1 ELSE 0 END)::bigint AS res1
+  FROM nation
+  UNION ALL
+  SELECT 'region.r_name', count(*),
+         sum(CASE WHEN regexp_replace(trim(lower(r_name)), '\\s+', ' ', 'g')
+                  IN ({_gaz_sql_list(0)}) THEN 1 ELSE 0 END)::bigint,
+         sum(CASE WHEN regexp_replace(trim(lower(r_name)), '\\s+', ' ', 'g')
+                  IN ({_gaz_sql_list(1)}) THEN 1 ELSE 0 END)::bigint
+  FROM region
+  UNION ALL
+  SELECT 'customer.c_mktsegment', count(*),
+         sum(CASE WHEN regexp_replace(trim(lower(c_mktsegment)), '\\s+', ' ', 'g')
+                  IN ({_gaz_sql_list(0)}) THEN 1 ELSE 0 END)::bigint,
+         sum(CASE WHEN regexp_replace(trim(lower(c_mktsegment)), '\\s+', ' ', 'g')
+                  IN ({_gaz_sql_list(1)}) THEN 1 ELSE 0 END)::bigint
+  FROM customer
+)
+SELECT column_name, n_rows, (res0 + res1)::bigint AS n_resolved,
+       round((res0 + res1) * 1.0 / n_rows, 4) AS resolved_ratio,
+       (res0 + res1) > 0.7 * n_rows AS is_admin,
+       CASE WHEN (res0 + res1) <= 0.7 * n_rows THEN NULL
+            WHEN res0 >= greatest(3.0, 0.9 * n_rows) THEN 0
+            WHEN res1 >= greatest(3.0, 0.9 * n_rows) THEN 1
+            ELSE NULL END AS admin_level
+FROM s ORDER BY column_name
+""",
+)
+def admin_area_profile(spark, sf_dir):
+    """AdministrativeArea semantic-type rule over the offline gazetteer
+    (reference: datamart-geo resolution, profile_types.py:199-203 —
+    admin iff >70% of the column resolves; level guess core.py:486-499
+    with threshold max(3, 90%)).  Country names classify level 0,
+    continents and market segments never resolve.  One single-pass
+    aggregation per column; the gazetteer rides as JVM-side `isin`
+    literals — the 100 TB shape is a broadcast join either way."""
+    from ..profiler.gazetteer import NAMES_BY_LEVEL
+
+    def col_agg(tbl: str, col: str):
+        df = table(spark, sf_dir, tbl)
+        nm = F.regexp_replace(
+            F.trim(F.lower(F.col(col).cast("string"))), r"\s+", " "
+        )
+        return df.agg(
+            F.lit(f"{tbl}.{col}").alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(nm.isin(NAMES_BY_LEVEL.get(0, [])), 1).otherwise(0)
+            ).alias("res0"),
+            F.sum(
+                F.when(nm.isin(NAMES_BY_LEVEL.get(1, [])), 1).otherwise(0)
+            ).alias("res1"),
+        )
+
+    u = (
+        col_agg("nation", "n_name")
+        .unionByName(col_agg("region", "r_name"))
+        .unionByName(col_agg("customer", "c_mktsegment"))
+    )
+    resolved = F.col("res0") + F.col("res1")
+    thr = F.greatest(F.lit(3.0), F.lit(0.9) * F.col("n_rows"))
+    return u.select(
+        "column_name",
+        "n_rows",
+        resolved.cast("long").alias("n_resolved"),
+        F.round(resolved / F.col("n_rows"), 4).alias("resolved_ratio"),
+        (resolved > F.lit(0.7) * F.col("n_rows")).alias("is_admin"),
+        F.when(resolved <= F.lit(0.7) * F.col("n_rows"), F.lit(None).cast("int"))
+        .when(F.col("res0") >= thr, F.lit(0))
+        .when(F.col("res1") >= thr, F.lit(1))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("admin_level"),
+    ).orderBy("column_name")
+
+
 @register(
     "numeric_profile_lineitem",
     """

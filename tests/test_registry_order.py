@@ -17,6 +17,7 @@ SOLE_GATES = [
     "spatial_overlap_boxes",
     "keyset_pagination",
     "numeric_profile_lineitem",
+    "admin_area_profile",  # §1.2 AdministrativeArea rule (round 5)
 ]
 
 

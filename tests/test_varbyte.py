@@ -56,3 +56,24 @@ def test_postings_roundtrip():
     assert np.array_equal(tf, tf2)
     # compression actually compresses: gaps of ~1000 fit in 2 bytes
     assert len(dvb) < 8 * len(d) / 2
+
+
+def test_default_n_shards_parallelism_floor():
+    """VERDICT r4 #7: mid-size corpora must fill the cluster's task
+    slots (2M docs at the bare 8-shard floor idled half a 16-slot
+    machine through the encode phase), while tiny corpora keep few
+    shards (fragmenting terms across O(slots) shards was measured 5x
+    slower at 20k docs) and huge corpora stay governed by the
+    ~250k-docs/shard ceil term."""
+    from datamart_spark.index.build import default_n_shards
+
+    assert default_n_shards(20_000) == 8
+    assert default_n_shards(20_000, parallelism=16) == 8   # tiny: unchanged
+    assert default_n_shards(200_000, parallelism=16) == 8  # bench size: unchanged
+    assert default_n_shards(500_000, parallelism=16) == 16
+    assert default_n_shards(2_000_000, parallelism=16) == 16
+    assert default_n_shards(5_000_000, parallelism=16) == 20  # ceil governs
+    assert default_n_shards(10**9, parallelism=16) == 4000
+    # a grown snapshot pins shard_width, so this floor only applies to
+    # FRESH builds (n_shards=None path) - monotone in n_docs either way
+    assert default_n_shards(10**12, parallelism=16_000) == 4_000_000
