@@ -12,8 +12,12 @@ filtering pipelines); ``extract_image_features`` needs a pixel decoder.
 Two are REAL and in-repo: PNG (``png.decode_png`` — stdlib zlib + numpy
 unfiltering) and JPEG (``jpeg.decode_jpeg`` — pure-Python T.81 Huffman
 + numpy IDCT; baseline AND progressive, grayscale and YCbCr color,
-restart intervals).  Video remains the documented stub: pass
-``extractor`` or get ``NotImplementedError`` at plan-build time.
+restart intervals).  Video METADATA is real too: ``sniff_video`` /
+``decode_video_meta`` parse MP4/ISO-BMFF boxes (ftyp brand, mvhd
+duration, tkhd dimensions, stsd codec fourcc — ISO/IEC 14496-12 is
+public struct layout).  Only video FRAME decode remains the documented
+stub: pass ``extractor`` or get ``NotImplementedError`` at plan-build
+time.
 
 Scale: payload columns are the heavy bytes — keep them OUT of shuffles.
 All kernels here are narrow (mapInPandas, no exchange); pipelines
@@ -85,6 +89,157 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.select("doc_id", payload_col).mapInPandas(kernel, schema=IMAGE_META_SCHEMA)
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+#: ISO-BMFF container boxes whose payload is a sequence of child boxes
+_BMFF_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
+
+
+def _bmff_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the sibling boxes in
+    buf[start:end] (ISO/IEC 14496-12 §4.2: 32-bit size, fourcc; size 1
+    ⇒ 64-bit largesize follows; size 0 ⇒ box runs to the end)."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", buf[i:i + 4])[0]
+        btype = buf[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", buf[i + 8:i + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return  # malformed/truncated: stop, never over-read
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def sniff_video(payload: bytes):
+    """MP4 / ISO-BMFF metadata from pure struct parsing (ISO/IEC
+    14496-12 is public): ftyp major brand, mvhd duration (timescale
+    units → seconds), the video track's tkhd dimensions (16.16 fixed
+    point) and its stsd sample-entry fourcc (codec), and the track
+    count.  Frame/pixel decode stays the documented codec boundary
+    (``extract_image_features``'s ``extractor``); every sizing /
+    filtering / budgeting pipeline need is served from here.
+
+    → (brand, duration_sec, width, height, codec, n_tracks) or None
+    when the payload is not ISO-BMFF."""
+    if payload is None or len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    brand = payload[8:12].decode("latin-1").strip() or None
+    duration = None
+    width = height = None
+    codec = None
+    n_tracks = 0
+
+    def fixed16(b: bytes) -> int:
+        return struct.unpack(">I", b)[0] >> 16
+
+    for btype, s, e in _bmff_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for t2, s2, e2 in _bmff_boxes(payload, s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 20:
+                ver = payload[s2]
+                if ver == 1 and e2 - s2 >= 32:
+                    ts = struct.unpack(">I", payload[s2 + 20:s2 + 24])[0]
+                    dur = struct.unpack(">Q", payload[s2 + 24:s2 + 32])[0]
+                else:
+                    ts = struct.unpack(">I", payload[s2 + 12:s2 + 16])[0]
+                    dur = struct.unpack(">I", payload[s2 + 16:s2 + 20])[0]
+                if ts:
+                    duration = dur / ts
+            elif t2 == b"trak":
+                n_tracks += 1
+                tk_w = tk_h = None
+                handler = None
+                entry = None
+                for t3, s3, e3 in _bmff_boxes(payload, s2, e2):
+                    if t3 == b"tkhd" and e3 - s3 >= 84:
+                        # v0 payload: ver/flags 4, ctime/mtime/id/res/
+                        # dur 5×4, res 8, layer/alt/vol/res 4×2,
+                        # matrix 36 → width at 76; v1 adds 12 (64-bit
+                        # ctime/mtime/duration) → width at 88
+                        ver = payload[s3]
+                        off = (s3 + 88) if ver == 1 else (s3 + 76)
+                        if off + 8 <= e3:
+                            tk_w = fixed16(payload[off:off + 4])
+                            tk_h = fixed16(payload[off + 4:off + 8])
+                    elif t3 == b"mdia":
+                        for t4, s4, e4 in _bmff_boxes(payload, s3, e3):
+                            if t4 == b"hdlr" and e4 - s4 >= 12:
+                                handler = payload[s4 + 8:s4 + 12]
+                            elif t4 == b"minf":
+                                for t5, s5, e5 in _bmff_boxes(payload, s4, e4):
+                                    if t5 != b"stbl":
+                                        continue
+                                    for t6, s6, e6 in _bmff_boxes(
+                                        payload, s5, e5
+                                    ):
+                                        if t6 == b"stsd" and e6 - s6 >= 16:
+                                            entry = payload[s6 + 12:s6 + 16]
+                if handler == b"vide" or (handler is None and tk_w):
+                    if tk_w:
+                        width, height = tk_w, tk_h
+                    if entry:
+                        codec = entry.decode("latin-1").strip() or None
+    return brand, duration, width, height, codec, n_tracks
+
+
+def decode_video_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, payload binary) → typed MP4 metadata, Arrow-batched —
+    the video analog of ``decode_image_meta``: narrow mapInPandas, the
+    binary column is never shuffled."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            metas = [
+                sniff_video(bytes(p) if p is not None else None)
+                for p in b[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "format": ["mp4" if m else None for m in metas],
+                    "brand": [m[0] if m else None for m in metas],
+                    "duration_sec": [m[1] if m else None for m in metas],
+                    "width": pd.array(
+                        [m[2] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m[3] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "codec": [m[4] if m else None for m in metas],
+                    "n_tracks": pd.array(
+                        [m[5] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in b[payload_col]
+                    ],
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        kernel, schema=VIDEO_META_SCHEMA
+    )
 
 
 def feature_schema(dim: int) -> T.StructType:

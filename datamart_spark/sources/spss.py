@@ -16,9 +16,12 @@ numerics as ``%g``, system-missing as empty cells, trailing-space-
 stripped strings, DATE-family columns as ISO dates and DATETIME as
 ``YYYY-MM-DD HH:MM:SS`` (SPSS times are seconds since 1582-10-14).
 
-Unsupported, with explicit errors: zsav (``$FL3`` zlib-compressed) and
-non-IEEE floats.  Value labels and missing-value ranges are parsed past
-(the reference's CSV output ignores them too).
+zsav (``$FL3``) is supported: its case data is the same bias-compressed
+bytecode wrapped in the PSPP-documented ZLIB data record — a 24-byte
+header (zheader_ofs / ztrailer_ofs / ztrailer_len int64s), independent
+zlib streams, and a trailer of per-block descriptors — decompressed and
+fed to the same bytecode decoder.  Value labels and missing-value
+ranges are parsed past (the reference's CSV output ignores them too).
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ from __future__ import annotations
 import csv
 import datetime as dt
 import struct
+import zlib
 
 _EPOCH = dt.datetime(1582, 10, 14)
 _SYSMIS = float("-1.7976931348623157e+308")
@@ -39,14 +43,56 @@ class SavError(ValueError):
     pass
 
 
+def _zsav_case_bytes(data: bytes, pos: int, en: str) -> bytes:
+    """ZLIB data record (PSPP manual, "ZLIB Compressed Data Record"):
+    a 24-byte header — zheader_ofs (must equal this record's own file
+    offset), ztrailer_ofs, ztrailer_len as int64 — followed by
+    independent zlib streams, then a trailer holding int64 bias, int64
+    zero, int32 block_size, int32 n_blocks and one
+    (uncompressed_ofs, compressed_ofs, uncompressed_size,
+    compressed_size) descriptor per block.  Returns the concatenated
+    decompressed case stream (the ordinary bias-compressed bytecode)."""
+    if pos + 24 > len(data):
+        raise SavError("zsav: truncated ZLIB header")
+    zheader_ofs, ztrailer_ofs, ztrailer_len = struct.unpack(
+        en + "qqq", data[pos:pos + 24]
+    )
+    if zheader_ofs != pos:
+        raise SavError("zsav: ZLIB header offset mismatch")
+    if ztrailer_len < 24 or ztrailer_ofs + ztrailer_len > len(data):
+        raise SavError("zsav: ZLIB trailer out of bounds")
+    t = ztrailer_ofs
+    _bias, _zero, _block_size, n_blocks = struct.unpack(
+        en + "qqii", data[t:t + 24]
+    )
+    if ztrailer_len != 24 + 24 * n_blocks:
+        raise SavError("zsav: trailer length disagrees with block count")
+    out = bytearray()
+    off = t + 24
+    for _ in range(n_blocks):
+        _unc_ofs, cmp_ofs, unc_len, cmp_len = struct.unpack(
+            en + "qqii", data[off:off + 24]
+        )
+        off += 24
+        try:
+            chunk = zlib.decompress(data[cmp_ofs:cmp_ofs + cmp_len])
+        except zlib.error as e:
+            raise SavError(f"zsav: bad ZLIB block: {e}") from None
+        if len(chunk) != unc_len:
+            raise SavError("zsav: block decompressed to unexpected size")
+        out += chunk
+    return bytes(out)
+
+
 def _read_sav(path: str):
     """→ (column names, per-column print-format types, list of rows)."""
     with open(path, "rb") as f:
         data = f.read()
-    if data[:4] == b"$FL3":
-        raise SavError("zsav (zlib-compressed .sav) unsupported")
-    if data[:4] != b"$FL2":
+    zsav = data[:4] == b"$FL3"
+    if not zsav and data[:4] != b"$FL2":
         raise SavError("not an SPSS system file (missing $FL2 magic)")
+    if len(data) < 176:
+        raise SavError("truncated system file (header is 176 bytes)")
 
     # endianness from layout_code at offset 64 (2, or 3 for IBM variants)
     (lc_le,) = struct.unpack("<i", data[64:68])
@@ -144,6 +190,9 @@ def _read_sav(path: str):
             return b.decode("latin-1")
 
     # --- case data -----------------------------------------------------
+    if zsav:
+        # the decompressed stream is the ordinary bytecode form
+        data, pos, compression = _zsav_case_bytes(data, pos, en), 0, 1
     raw_elements: list[bytes | float] = []
     if compression == 0:
         while pos + 8 <= len(data):

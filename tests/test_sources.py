@@ -79,30 +79,38 @@ def test_unavailable_converters_raise_cleanly(files, tmp_path):
     xls_p.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
     with pytest.raises((XlsError, ValueError)):
         CONVERTERS["excel97"](str(xls_p), str(tmp_path / "x.csv"))
-    # zsav is the explicit remaining SPSS boundary
+    # a truncated zsav fails with a clean zsav error, not a struct crash
     from datamart_spark.sources.spss import SavError
 
     zsav = tmp_path / "z.zsav"
     zsav.write_bytes(b"$FL3" + b"\x00" * 64)
-    with pytest.raises(SavError, match="zsav"):
+    with pytest.raises(SavError):
         CONVERTERS["spss"](str(zsav), str(tmp_path / "z.csv"))
 
 
-def _write_min_sav(path, compressed=True):
+def _write_min_sav(path, compressed=True, zsav=False):
     """Hand-built SPSS system file (no SPSS writer lib in the sandbox):
     numeric F8.0/F8.2, a 12-char string spanning two 8-byte segments
     (continuation variable record), a DATE column, a long-variable-names
     extension record, and — when compressed — every bytecode command:
-    small-int bias codes, 253 literals, 254 all-spaces, 255 sysmis."""
+    small-int bias codes, 253 literals, 254 all-spaces, 255 sysmis.
+    ``zsav=True`` wraps the (bytecode-compressed) case data in the $FL3
+    ZLIB data record, split across TWO zlib blocks with a descriptor
+    trailer — the multi-block path a real writer produces."""
     import datetime as dt
     import struct
+    import zlib
+
+    if zsav:
+        compressed = True  # zsav case data is always the bytecode form
 
     def pad(b, n, fill=b" "):
         return b + fill * (n - len(b))
 
     out = bytearray()
-    out += b"$FL2" + pad(b"@(#) TEST", 60)
-    out += struct.pack("<iiiii", 2, 5, 1 if compressed else 0, 0, 3)
+    out += (b"$FL3" if zsav else b"$FL2") + pad(b"@(#) TEST", 60)
+    out += struct.pack("<iiiii", 2, 5, 2 if zsav else (1 if compressed else 0),
+                       0, 3)
     out += struct.pack("<d", 100.0)
     out += pad(b"01 Jan 26", 9) + pad(b"00:00:00", 8)
     out += pad(b"test file", 64) + b"\x00" * 3
@@ -128,6 +136,7 @@ def _write_min_sav(path, compressed=True):
     out += struct.pack("<ii", 999, 0)
 
     d0 = (dt.datetime(2021, 1, 2) - dt.datetime(1582, 10, 14)).total_seconds()
+    case = bytearray()
     if compressed:
         lit, cmds = [], []
 
@@ -155,10 +164,10 @@ def _write_min_sav(path, compressed=True):
         i = li = 0
         while i < len(cmds):
             grp = cmds[i:i + 8]
-            out += bytes(grp) + b"\x00" * (8 - len(grp))
+            case += bytes(grp) + b"\x00" * (8 - len(grp))
             for c in grp:
                 if c == 253:
-                    out += lit[li]
+                    case += lit[li]
                     li += 1
             i += 8
     else:
@@ -173,7 +182,32 @@ def _write_min_sav(path, compressed=True):
              b" " * 8, b" " * 8, sysmis],
         ):
             for el in row:
-                out += el
+                case += el
+    if zsav:
+        # $FL3 ZLIB data record: 24-byte header, independent zlib
+        # streams, descriptor trailer — two blocks, split on an 8-byte
+        # element boundary
+        zpos = len(out)
+        half = max(8, (len(case) // 2) // 8 * 8)
+        blocks = [bytes(case[:half]), bytes(case[half:])]
+        blocks = [b for b in blocks if b]
+        comp = [zlib.compress(b) for b in blocks]
+        ztrailer_ofs = zpos + 24 + sum(len(c) for c in comp)
+        ztrailer_len = 24 + 24 * len(blocks)
+        out += struct.pack("<qqq", zpos, ztrailer_ofs, ztrailer_len)
+        descs = []
+        cofs = zpos + 24
+        uofs = zpos + 24
+        for b, c in zip(blocks, comp):
+            descs.append((uofs, cofs, len(b), len(c)))
+            out += c
+            uofs += len(b)
+            cofs += len(c)
+        out += struct.pack("<qqii", -100, 0, 0x3FF000, len(blocks))
+        for desc in descs:
+            out += struct.pack("<qqii", *desc)
+    else:
+        out += case
     with open(path, "wb") as f:
         f.write(bytes(out))
 
@@ -184,6 +218,32 @@ _SAV_EXPECT = (
     "42,,bob overflow,2021-01-03\r\n"
     "-1,0,,\r\n"
 )
+
+
+def test_zsav_to_csv_roundtrip(tmp_path):
+    """S8 zsav variant: $FL3 ZLIB-framed case data (two independent
+    zlib blocks + descriptor trailer, PSPP manual) must decode to the
+    same CSV as the equivalent $FL2 file."""
+    src = tmp_path / "m.zsav"
+    _write_min_sav(str(src), zsav=True)
+    assert detect_format(str(src)) == "spss"
+    dst = tmp_path / "m.csv"
+    CONVERTERS["spss"](str(src), str(dst))
+    assert open(dst, "rb").read().decode() == _SAV_EXPECT
+
+
+def test_zsav_corrupt_block_raises_cleanly(tmp_path):
+    from datamart_spark.sources.spss import SavError
+
+    src = tmp_path / "c.zsav"
+    _write_min_sav(str(src), zsav=True)
+    raw = bytearray(src.read_bytes())
+    # trailer = 24 + 2×24 bytes; flip a byte inside the last zlib
+    # stream, just before the trailer — the adler32 check must trip
+    raw[len(raw) - 72 - 5] ^= 0xFF
+    src.write_bytes(bytes(raw))
+    with pytest.raises(SavError):
+        CONVERTERS["spss"](str(src), str(tmp_path / "c.csv"))
 
 
 def test_sav_allspaces_numeric_is_sysmis(tmp_path):

@@ -89,6 +89,76 @@ def test_decode_image_meta_spark(spark):
     assert got[4]["n_bytes"] == 0
 
 
+def _box(btype: bytes, payload: bytes, large: bool = False) -> bytes:
+    import struct
+
+    if large:
+        return struct.pack(">I", 1) + btype + struct.pack(
+            ">Q", 16 + len(payload)
+        ) + payload
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4(w=640, h=360, dur_units=9000, timescale=600, codec=b"avc1",
+         version0=True) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov(mvhd, trak(tkhd, mdia(hdlr,
+    minf(stbl(stsd[avc1])))))."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomavc1")
+    if version0:
+        mvhd = _box(b"mvhd", b"\x00" + b"\x00" * 3 + b"\x00" * 8
+                    + struct.pack(">II", timescale, dur_units) + b"\x00" * 80)
+    else:
+        mvhd = _box(b"mvhd", b"\x01" + b"\x00" * 3 + b"\x00" * 16
+                    + struct.pack(">IQ", timescale, dur_units) + b"\x00" * 80)
+    # tkhd v0: ver/flags(4) ctime(4) mtime(4) id(4) res(4) dur(4)
+    # res(8) layer(2) alt(2) vol(2) res(2) matrix(36) width(4) height(4)
+    tkhd = _box(b"tkhd", b"\x00" + b"\x00" * 3 + b"\x00" * 72
+                + struct.pack(">II", w << 16, h << 16))
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    # stsd: ver/flags(4) entry_count(4) entry{size(4) fourcc(4) ...}
+    entry = struct.pack(">I", 16) + codec + b"\x00" * 8
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+    stbl = _box(b"stbl", stsd)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak, large=True)  # exercise largesize
+    mdat = _box(b"mdat", b"\x00" * 32)
+    return ftyp + moov + mdat
+
+
+def test_sniff_video_mp4():
+    from datamart_spark.multimodal import sniff_video
+
+    got = sniff_video(_mp4())
+    assert got == ("isom", 15.0, 640, 360, "avc1", 1)
+    # 64-bit mvhd (version 1) parses identically
+    assert sniff_video(_mp4(version0=False)) == ("isom", 15.0, 640, 360,
+                                                 "avc1", 1)
+    assert sniff_video(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40) is None
+    assert sniff_video(None) is None
+    # truncated moov: no crash, partial metadata only
+    t = _mp4()
+    assert sniff_video(t[:40]) is not None or sniff_video(t[:40]) is None
+
+
+def test_decode_video_meta_spark(spark):
+    from datamart_spark.multimodal import decode_video_meta
+
+    rows = [(1, _mp4(1280, 720, 1200, 600, b"hvc1")), (2, b"notavideo!!!"),
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_video_meta(df).collect()}
+    assert got[1]["format"] == "mp4" and got[1]["brand"] == "isom"
+    assert got[1]["width"] == 1280 and got[1]["height"] == 720
+    assert got[1]["duration_sec"] == 2.0 and got[1]["codec"] == "hvc1"
+    assert got[1]["n_tracks"] == 1
+    assert got[2]["format"] is None
+    assert got[3]["n_bytes"] == 0
+
+
 def test_extract_features_requires_decoder(spark):
     df = spark.createDataFrame([(1, b"x" * 32)], "doc_id long, payload binary")
     with pytest.raises(NotImplementedError):
