@@ -301,7 +301,72 @@ def default_n_shards(n_docs: int, docs_per_shard: int = 250_000,
     floor = 8
     if parallelism:
         floor = max(floor, min(parallelism, n_docs // min_docs_per_shard))
-    return max(floor, (n_docs + docs_per_shard - 1) // docs_per_shard)
+    base = max(floor, (n_docs + docs_per_shard - 1) // docs_per_shard)
+    # even encode waves: 20 shards on 16 slots runs 16 + a 4-task tail
+    # wave — round UP to a slot multiple while shards are within a few
+    # waves of the machine (beyond 4 waves, or at cluster scale where
+    # the ceil term dominates, remainder tails are already amortized)
+    if parallelism and parallelism < base <= 4 * parallelism:
+        base = -(-base // parallelism) * parallelism
+    return base
+
+
+def _murmur3_int(v: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashInt (Austin Appleby's public-domain
+    MurmurHash3), seed 42 — bit-identical to ``F.hash`` on an int
+    column (verified against Spark in tests).  Lets the DRIVER predict
+    ``repartition(n, expr)`` placement: partition = pmod(hash, n)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = v & 0xFFFFFFFF
+    k = (k * c1) & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = (k * c2) & 0xFFFFFFFF
+    h = seed ^ k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # input length in bytes
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h & (1 << 31) else h
+
+
+#: above this many shards per job, hash collisions average out and the
+#: remap map expression would be large — plain hash partitioning
+_EXACT_ASSIGN_MAX = 4096
+
+
+def encode_partitioning(todo: list[int], parallelism: int):
+    """(nparts, partition column) for the posting-encode exchange.
+
+    Plain ``repartition(n, "shard")`` places shard s at
+    pmod(murmur3(s), n) — with shards ≈ task slots the birthday effect
+    co-locates several whole shards in one task while other slots sit
+    EMPTY: at 5M docs (20 shards into 40 buckets) one task carried 4
+    shards = 120M rows and alone accounted for ~900 s of a 1039 s build
+    (NOTES_SCALING round-5).  For jobs up to ``_EXACT_ASSIGN_MAX``
+    shards the driver instead picks one SALT per shard such that
+    pmod(murmur3(salt), len(todo)) enumerates 0..n-1, and repartitions
+    on ``map(shard → salt)`` — an exact 1:1 shard→task assignment (the
+    local-mode analog of a custom partitioner, still pure DataFrame
+    API).  Beyond that bound (real-cluster scale: millions of shards ≫
+    slots) collisions merely average out and plain hashing is correct."""
+    n = len(todo)
+    if not 0 < n <= _EXACT_ASSIGN_MAX:
+        return max(2 * n, 2 * parallelism), F.col("shard")
+    needed: dict[int, int | None] = {i: None for i in range(n)}
+    remaining, k = n, 0
+    while remaining:
+        r = _murmur3_int(k) % n  # python % == Spark pmod (non-negative)
+        if needed[r] is None:
+            needed[r] = k
+            remaining -= 1
+        k += 1
+    mapping = {shard: needed[i] for i, shard in enumerate(sorted(todo))}
+    pairs = [F.lit(x) for s, salt in mapping.items() for x in (s, salt)]
+    return n, F.element_at(F.create_map(*pairs), F.col("shard"))
 
 
 def build_index(
@@ -578,10 +643,12 @@ def _build_index_impl(
             if tbl.num_rows:
                 yield from _encode_partition_arrow(tbl)
 
-        # ONE exchange, hash-partitioned on shard alone: each doc-range
-        # shard lands whole in one task (extra buckets stay empty —
-        # collisions merely co-locate two shards), and the encoder emits
-        # its groups in (shard, term-LEXICOGRAPHIC) order, so the
+        # ONE exchange, partitioned on shard alone: each doc-range shard
+        # lands whole in EXACTLY ONE task (driver-computed salt map ⇒
+        # collision-free 1:1 shard→task assignment, encode_partitioning
+        # — plain hash placement left one task carrying 4 whole shards
+        # at 5M docs while other slots idled), and the encoder emits its
+        # groups in (shard, term-LEXICOGRAPHIC) order, so the
         # partitionBy(shard) write directly produces one term-sorted
         # file per shard — the query layout (row-group min/max pruning
         # on `term IN`) with NO second shuffle.  A whole shard per task
@@ -590,12 +657,12 @@ def _build_index_impl(
         # mapInArrow (not mapInPandas): the term strings stay in Arrow
         # buffers and are dictionary-encoded in C++ — materializing 36M
         # python string objects was the dominant encode cost.
+        nparts, pexpr = encode_partitioning(
+            todo, spark.sparkContext.defaultParallelism
+        )
         postings = (
             tok.select("term", "shard", "doc_id", "tf", "doclen")
-            .repartition(
-                max(2 * len(todo), 2 * spark.sparkContext.defaultParallelism),
-                "shard",
-            )
+            .repartition(nparts, pexpr)
             .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
         )
         try:

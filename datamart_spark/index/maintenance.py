@@ -139,10 +139,16 @@ def _delete_docs_impl(
     postings = tok.repartition(
         max(len(shards), spark.sparkContext.defaultParallelism), "term", "shard"
     ).mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
-    # same compaction as the build: one term-sorted file per shard
-    postings = postings.repartition(
-        max(len(shards), 1), "shard"
-    ).sortWithinPartitions("shard", "term", "block_id")
+    # same compaction as the build: one term-sorted file per shard,
+    # with the exact shard→task assignment (no hash co-location)
+    from .build import encode_partitioning
+
+    nparts, pexpr = encode_partitioning(
+        shards, spark.sparkContext.defaultParallelism
+    )
+    postings = postings.repartition(nparts, pexpr).sortWithinPartitions(
+        "shard", "term", "block_id"
+    )
     catalog.rewrite_partitions(postings, "postings", shards,
                                options=POSTINGS_WRITE_OPTIONS,
                                defer_cleanup=True)

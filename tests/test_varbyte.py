@@ -72,8 +72,69 @@ def test_default_n_shards_parallelism_floor():
     assert default_n_shards(200_000, parallelism=16) == 8  # bench size: unchanged
     assert default_n_shards(500_000, parallelism=16) == 16
     assert default_n_shards(2_000_000, parallelism=16) == 16
-    assert default_n_shards(5_000_000, parallelism=16) == 20  # ceil governs
+    # ceil gives 20 -> rounded up to even 2x16 waves (no 4-task tail)
+    assert default_n_shards(5_000_000, parallelism=16) == 32
     assert default_n_shards(10**9, parallelism=16) == 4000
     # a grown snapshot pins shard_width, so this floor only applies to
     # FRESH builds (n_shards=None path) - monotone in n_docs either way
     assert default_n_shards(10**12, parallelism=16_000) == 4_000_000
+
+
+def test_encode_partitioning_exact_assignment(spark):
+    """The driver-computed salt map must place every shard in its own
+    task: pmod(murmur3(salt), n) enumerates 0..n-1 (the 5M-doc hash
+    placement put 4 whole shards in one task, NOTES_SCALING r5).
+    (spark fixture: the map expression needs an active SparkContext)"""
+    from datamart_spark.index.build import (
+        _EXACT_ASSIGN_MAX,
+        _murmur3_int,
+        encode_partitioning,
+    )
+
+    for todo in ([0], list(range(20)), list(range(7, 40)), [3, 99, 1000]):
+        n, _expr = encode_partitioning(todo, 16)
+        assert n == len(todo)
+    # beyond the bound: plain hash partitioning with 2x buckets
+    big = list(range(_EXACT_ASSIGN_MAX + 1))
+    n, _ = encode_partitioning(big, 16)
+    assert n == 2 * len(big)
+    # the salt search itself: ranks are a permutation of 0..n-1
+    needed = {}
+    k = 0
+    while len(needed) < 20:
+        r = _murmur3_int(k) % 20
+        needed.setdefault(r, k)
+        k += 1
+    assert sorted(needed) == list(range(20))
+
+
+def test_murmur3_matches_spark_hash(spark):
+    from pyspark.sql import functions as F
+
+    from datamart_spark.index.build import _murmur3_int
+
+    rows = (
+        spark.range(-50, 1000, 37)
+        .select(F.col("id").cast("int").alias("v"),
+                F.hash(F.col("id").cast("int")).alias("h"))
+        .collect()
+    )
+    assert rows and all(_murmur3_int(r.v) == r.h for r in rows)
+
+
+def test_encode_partitioning_places_one_shard_per_task(spark):
+    from pyspark.sql import functions as F
+
+    from datamart_spark.index.build import encode_partitioning
+
+    todo = list(range(20))
+    n, expr = encode_partitioning(todo, 16)
+    df = spark.range(200_000).select((F.col("id") % 20).cast("int").alias("shard"))
+    got = (
+        df.repartition(n, expr)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count_distinct("shard").alias("nsh"))
+        .collect()
+    )
+    assert len(got) == 20 and all(r.nsh == 1 for r in got)
