@@ -133,10 +133,21 @@ def robustness_build(n_docs: int = ROBUST_DOCS,
     materialize_corpus(n_docs, corpus)
     from datamart_spark.index import IndexCatalog, build_index
 
+    from pyspark.sql import functions as F
+
     times, m = [], None
     for _ in range(max(1, repeats)):
         spark = _session(PEAK_CPUS, "bench_robust")
         docs = spark.read.parquet(corpus)
+        # the same steady-state discipline as timed_build: a 10% pilot
+        # warms JIT + python workers — without it this number measured
+        # C2 compilation, not the engine (r5: 7.0k cold vs 13.2k warm)
+        warm_cat = IndexCatalog(f"{WORK_DIR}_robust_warm")
+        warm_cat.drop()
+        pilot = max(1000, n_docs // 10)
+        build_index(docs.where(F.col("doc_id") < pilot), warm_cat,
+                    resume=False, n_docs=pilot)
+        warm_cat.drop()
         root = f"{WORK_DIR}_robust"
         shutil.rmtree(root, ignore_errors=True)
         cat = IndexCatalog(root)
