@@ -15,6 +15,12 @@ regex ratios.  Constants preserved:
   (profile_types.py:219-229)
 - integer column named "year" → DateTime (profile_types.py:236-248)
 - MISSING_DATA when the whole column is empty (profile_types.py:122-123)
+- free text: ≥98% of non-empty values have ≥3 whitespace runs (and are
+  not WKT/geo strings) → semantic Text, suppressing Enumeration
+  (profile_types.py:84-85,196-218)
+- AdministrativeArea: >70% resolve against the offline gazetteer, with
+  level guess + merged envelope (profile_types.py:199-203,
+  core.py:486-499,640-668; see gazetteer.py)
 
 Execution shape: ONE aggregation pass computes every counter for every
 column simultaneously (a single select over the scan → one reduce), so
@@ -146,6 +152,23 @@ def profile_dataframe(
                 ).otherwise(0)
             ).alias(f"{c}__long"),
         ]
+        # free-text counter (profile_types.py:84-85): values with ≥3
+        # whitespace runs (≥4 words) that are not WKT/geo strings — the
+        # reference's elif chain reaches the text bucket only after the
+        # geo regexes; int/float literals cannot contain whitespace
+        aggs.append(
+            F.sum(
+                F.when(
+                    nonempty
+                    & v.rlike(r"\s+\S+\s+\S+\s+")
+                    & ~v.rlike(_WKT_POINT_RE)
+                    & ~v.rlike(_OTHER_POINT_RE)
+                    & ~v.rlike(_GEO_COMBINED_RE)
+                    & ~v.rlike(_WKT_POLYGON_RE),
+                    1,
+                ).otherwise(0)
+            ).alias(f"{c}__text")
+        )
         # AdministrativeArea resolution counters (gazetteer.py): the
         # vendored name lists ride the SAME single pass as JVM-side
         # `isin` literals — no extra scan, no UDF (reference resolves
@@ -189,8 +212,34 @@ def profile_dataframe(
 
         if (n - row[f"{c}__bool"]) / n <= MAX_UNCLEAN:
             p.semantic_types.append(SEM_BOOLEAN)
-        if p.nb_distinct <= MAX_CATEGORICAL_RATIO * n and SEM_BOOLEAN not in p.semantic_types:
+        # reference precedence inside the TEXT branch
+        # (profile_types.py:196-218): AdministrativeArea forces
+        # categorical; otherwise ≥98%-of-non-empty free-text values win
+        # over the distinct-ratio Enumeration rule (a column of
+        # sentences is free text even when sentences repeat)
+        is_text = p.structural_type == TYPE_TEXT
+        admin_counts = (
+            {lvl: int(row[f"{c}__adm{lvl}"]) for lvl in gazetteer.NAMES_BY_LEVEL}
+            if is_text
+            else {}
+        )
+        is_admin = is_text and (
+            sum(admin_counts.values())
+            > gazetteer.ADMIN_RESOLUTION_THRESHOLD * rows
+        )
+        free_text = (
+            is_text
+            and not is_admin
+            and row[f"{c}__text"] >= max(1.0, (1.0 - MAX_UNCLEAN) * n)
+        )
+        if (
+            p.nb_distinct <= MAX_CATEGORICAL_RATIO * n
+            and SEM_BOOLEAN not in p.semantic_types
+            and not free_text
+        ):
             p.semantic_types.append(SEM_ENUMERATION)
+        if free_text:
+            p.semantic_types.append(TYPE_TEXT)  # schema.org/Text semantic
         if _is_id_name(c) and p.structural_type == TYPE_INTEGER:
             p.semantic_types.append(SEM_IDENTIFIER)
         # lat/long: value range AND column-name substring must both match
@@ -215,17 +264,12 @@ def profile_dataframe(
         # gazetteer (profile_types.py:199-203; denominator is the WHOLE
         # column incl. empties, matching the reference's len(array));
         # an admin column is categorical regardless of distinct ratio
-        if p.structural_type == TYPE_TEXT:
-            counts = {
-                lvl: int(row[f"{c}__adm{lvl}"])
-                for lvl in gazetteer.NAMES_BY_LEVEL
-            }
-            if sum(counts.values()) > gazetteer.ADMIN_RESOLUTION_THRESHOLD * rows:
-                p.semantic_types.append(gazetteer.SEM_ADMIN)
-                if SEM_ENUMERATION not in p.semantic_types:
-                    p.semantic_types.append(SEM_ENUMERATION)
-                p.admin_area_level = gazetteer.admin_level_for(counts, rows)
-                admin_cols.append(c)
+        if is_admin:
+            p.semantic_types.append(gazetteer.SEM_ADMIN)
+            if SEM_ENUMERATION not in p.semantic_types:
+                p.semantic_types.append(SEM_ENUMERATION)
+            p.admin_area_level = gazetteer.admin_level_for(admin_counts, rows)
+            admin_cols.append(c)
         if p.structural_type in (TYPE_INTEGER, TYPE_FLOAT):
             numeric_cols.append(c)
         profiles.append(p)
