@@ -33,6 +33,11 @@ applies them):
 - WB15/WB16: regional-indicator sequences pair up from the left — each
   flag (two RIs) is ONE token, a trailing odd RI stands alone
   (Lucene emits them as <EMOJI> tokens since LUCENE-8125);
+- Extended_Pictographic emoji are emitted as tokens (Lucene <EMOJI>):
+  one token per pictograph with its Extend run (skin-tone modifiers,
+  VS16) attached, and WB3c ZWJ-joined sequences (e.g. the
+  woman-technologist sequence) kept whole; two adjacent emoji without
+  a ZWJ are two tokens;
 - everything else is a boundary.
 
 Performance: a document whose text has no CJK, no Extend/Format char
@@ -42,9 +47,9 @@ findall fast path, so ASCII-ish web text pays ~no premium over the
 simple profile (the full grammar runs only on documents that need it).
 
 Remaining divergence from Lucene (listed so the gap is explicit):
-non-flag pictographic emoji (Extended_Pictographic sequences) are
-dropped rather than emitted as <EMOJI> tokens — carrying the full
-property table is not worth it for a keyword index.
+keycap sequences (digit + U+20E3) ride the word-char path rather than
+an <EMOJI> type — the token TEXT is identical, only Lucene's type
+attribute differs, and the index keys on text.
 """
 
 from __future__ import annotations
@@ -61,6 +66,32 @@ _KATA = "゠-ヿㇰ-ㇿ"
 _HEB = "א-תׯ-ײיִײַ-ﬨשׁ-פֿ"
 #: regional indicators (emoji flags) -- WB15/WB16 pair them up
 _RI = "🇦-🇿"
+
+#: Extended_Pictographic (UCD emoji-data.txt, public), transcribed as
+#: regex ranges.  Skin-tone modifiers U+1F3FB-FF are deliberately NOT
+#: here (they are Word_Break=Extend and live in the _EXT class so they
+#: attach to their base emoji); regional indicators are handled by the
+#: WB15/16 branch.  Includes the UCD's reserved ranges so unassigned
+#: future emoji segment the same way Lucene's grammar does.
+_EP = (
+    "©®‼⁉™ℹ"
+    "↔-↙↩-↪⌚-⌛⌨⎈⏏"
+    "⏩-⏳⏸-⏺Ⓜ▪-▫▶◀"
+    "◻-◾☀-★☇-☒☔-⚅"
+    "⚐-✅✈-✒✔✖✝✡✨"
+    "✳-✴❄❇❌❎❓-❕❗"
+    "❣-❧➕-➗➡➰➿⤴-⤵"
+    "⬅-⬇⬛-⬜⭐⭕〰〽㊗㊙"
+    "\U0001f000-\U0001f0ff\U0001f10d-\U0001f10f\U0001f12f"
+    "\U0001f16c-\U0001f171\U0001f17e-\U0001f17f\U0001f18e"
+    "\U0001f191-\U0001f19a\U0001f1ad-\U0001f1e5\U0001f201-\U0001f20f"
+    "\U0001f21a\U0001f22f\U0001f232-\U0001f23a\U0001f23c-\U0001f23f"
+    "\U0001f249-\U0001f3fa\U0001f400-\U0001f53d\U0001f546-\U0001f64f"
+    "\U0001f680-\U0001f6ff\U0001f774-\U0001f77f\U0001f7d5-\U0001f7ff"
+    "\U0001f80c-\U0001f80f\U0001f848-\U0001f84f\U0001f85a-\U0001f85f"
+    "\U0001f888-\U0001f88f\U0001f8ae-\U0001f8ff\U0001f90c-\U0001f93a"
+    "\U0001f93c-\U0001f945\U0001f947-\U0001faff\U0001fc00-\U0001fffd"
+)
 
 
 def _ext_class() -> str:
@@ -116,6 +147,13 @@ _COARSE = re.compile(
     rf"|[{_HAN}][{_EXT}]*"                    # han unigram
     rf"|[{_HIRA}][{_EXT}]*"                   # hiragana unigram
     rf"|[{_RI}]{{1,2}}"                       # flag = RI pair (WB15/16)
+    # emoji sequence: ExtPict, its Extend run (skin tones, VS16), then
+    # ZWJ-joined continuations (WB3c: ZWJ × ExtPict — the ZWJ must
+    # IMMEDIATELY precede the next ExtPict; two adjacent emoji without
+    # one are two tokens).  The ZWJ is itself Cf ∈ _EXT, so the greedy
+    # Extend run releases it by backtracking when a joined ExtPict
+    # follows.
+    rf"|[{_EP}](?:[{_EXT}]*\u200d[{_EP}])*[{_EXT}]*"
     # word with candidate mid-joiners; an optional TRAILING single quote
     # (WB7a geresh candidate) — _split_invalid_mids validates it by
     # walking back over any Extend/Format run to the base letter, so no
@@ -130,7 +168,7 @@ _COARSE = re.compile(
 # a regional indicator, a trailing-geresh candidate, or a mid-joiner
 # candidate BETWEEN two word chars — C-speed test
 _NEEDS_SLOW = re.compile(
-    rf"[{_HAN}{_HIRA}{_KATA}{_EXT}{_RI}\u05f3]"
+    rf"[{_HAN}{_HIRA}{_KATA}{_EXT}{_RI}{_EP}\u05f3]"
     rf"|(?<=\w)[{_MIDS}](?=\w)"
     rf"|(?<=[{_HEB}])'"
 )

@@ -80,6 +80,20 @@ VECTORS = [
     # U+05F3 HEBREW PUNCTUATION GERESH is ALetter: part of the word
     ("ג\u05f3ינס", ["ג\u05f3ינס"]),
     ("ד\u05f3ר כהן", ["ד\u05f3ר", "כהן"]),
+    # Extended_Pictographic emoji are tokens (Lucene <EMOJI>)
+    ("I \u2764 you", ["I", "\u2764", "you"]),
+    ("I \u2764\ufe0f you", ["I", "\u2764\ufe0f", "you"]),  # VS16 attached
+    ("\U0001f44d\U0001f3fd ok", ["\U0001f44d\U0001f3fd", "ok"]),  # skin tone
+    ("\U0001f642\U0001f642", ["\U0001f642", "\U0001f642"]),  # no ZWJ: two
+    # WB3c: ZWJ-joined sequence is ONE token (woman technologist)
+    ("\U0001f469\u200d\U0001f4bb code", ["\U0001f469\u200d\U0001f4bb", "code"]),
+    # family: EP ZWJ EP ZWJ EP stays whole
+    ("\U0001f468\u200d\U0001f469\u200d\U0001f466",
+     ["\U0001f468\u200d\U0001f469\u200d\U0001f466"]),
+    # emoji adjacent to words and flags
+    ("hi\U0001f680there", ["hi", "\U0001f680", "there"]),
+    ("\U0001f1e9\U0001f1ea\U0001f37a",
+     ["\U0001f1e9\U0001f1ea", "\U0001f37a"]),
 ]
 
 
