@@ -318,13 +318,13 @@ distinguish a co-tenant spike from a regression).
 
 ## Scale steps (measured once per step, NOTES_SCALING.md)
 
-Largest verified single-node build: 5,000,000 docs / 598.7M postings
-at 7,392 docs/sec warm (round 5, after the exact shard→task
-assignment fix — plain hash placement had put 4 whole shards in one
-straggler task), BM25 top-10 p50 0.99 s against the 5M index, python
-driver RSS flat ~140 MB through build + 50 queries.  Full per-step
-history (500k/1M/2M/5M) and the findings each step produced are in
-NOTES_SCALING.md.
+Largest verified single-node build: 10,000,000 docs / 1.198B postings
+at 9,282 docs/sec warm (round 5; 48 shards in 3 even 16-task waves
+after the exact shard→task assignment fix — plain hash placement had
+put 4 whole shards in one straggler task at the 5M step), BM25 top-10
+p50 1.97 s against the 10M index, python driver RSS flat ~142 MB
+through build + 50 queries.  Full per-step history (500k/1M/2M/5M/10M)
+and the findings each step produced are in NOTES_SCALING.md.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
