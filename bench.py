@@ -75,6 +75,7 @@ WORK_DIR = "/tmp/bench_index"
 HEADLINE = [
     "bm25_two_term_and",
     "bm25_indexed_and",
+    "bm25_batch_topk",
     "bm25_lang_filtered",
     "term_stats_top",
     "dedup_exact",
@@ -199,28 +200,46 @@ def timed_build(cpus: int) -> tuple[float, dict]:
     return elapsed, manifest
 
 
-def query_p50(cpus: int, index_cpus: int = HIGH_CPUS) -> float:
+def query_p50(cpus: int, index_cpus: int = HIGH_CPUS) -> tuple[float, float]:
+    """(per-query p50 of the sequential path, total sec of the SAME
+    50-query set through ONE bm25_topk_batch call).  Same session +
+    index for both, so the pair isolates the batching gain: N job
+    round-trips + N scans vs one union-term scan and one kernel pass
+    with cross-query block-decode sharing (query/batch.py).  Batch is
+    min-of-3 in-session repeats (shared-host noise is one-sided; the
+    sequential sweep self-warms across its 50 jobs)."""
     import pandas as pd
 
     from datamart_spark.corpus import generate_queries
     from datamart_spark.index import IndexCatalog
-    from datamart_spark.query import bm25_topk_blockmax
+    from datamart_spark.query import bm25_topk_batch, bm25_topk_blockmax
 
     spark = _session(cpus, "bench_query")
     catalog = IndexCatalog(f"{WORK_DIR}_{index_cpus}")
     queries = generate_queries()
     lat = []
+    specs = []
     for _, q in queries.iterrows():
         lang = q["lang_filter"] if isinstance(q["lang_filter"], str) else None
         ts_lo = q["ts_lo"] if pd.notna(q["ts_lo"]) else None
         ts_hi = q["ts_hi"] if pd.notna(q["ts_hi"]) else None
+        specs.append(
+            {"query_id": f"q{int(q['query_id']):02d}", "query": q["query"],
+             "lang": lang, "ts_lo": ts_lo, "ts_hi": ts_hi}
+        )
         t0 = time.time()
         bm25_topk_blockmax(
             spark, catalog, q["query"], k=10, lang=lang, ts_lo=ts_lo, ts_hi=ts_hi
         ).collect()
         lat.append(time.time() - t0)
+    batch_best = None
+    for _ in range(3):
+        t0 = time.time()
+        bm25_topk_batch(spark, catalog, specs, k=10).collect()
+        dt = time.time() - t0
+        batch_best = dt if batch_best is None else min(batch_best, dt)
     spark.stop()
-    return statistics.median(lat)
+    return statistics.median(lat), batch_best
 
 
 def run_headline(sf_dir: str) -> dict[str, float]:
@@ -297,6 +316,13 @@ local[{s['peak_cpus']}] = {s['docs_per_sec_peak']:.0f} docs/sec.
 ## BM25 top-10 query latency (50-query reference set, local[{P50_CPUS}])
 
 p50 = {result['bm25_p50_sec']:.3f} s/query (block-max DAAT kernel path).
+
+Batched: the same 50 queries through ONE `bm25_topk_batch` call =
+{result['bm25_batch50_sec']:.2f} s total
+({result['bm25_batch50_sec'] / 50 * 1000:.0f} ms/query amortized,
+{result['bm25_p50_sec'] * 50 / result['bm25_batch50_sec']:.1f}x the
+sequential sweep) — one union-term scan + one kernel pass, posting
+blocks decoded once per shard across all queries (query/batch.py).
 
 ## Robustness ({result['robustness']['n_docs']} docs, min of {len(result['robustness']['build_sec_all'])} fresh-session builds @ local[{PEAK_CPUS}])
 
@@ -383,7 +409,7 @@ def main() -> None:
     # peak single-node throughput (informational): the largest level the
     # box can run at all (local[16] ⇒ ~32 runnable threads)
     t_peak, _ = timed_build(PEAK_CPUS)
-    p50 = query_p50(P50_CPUS)
+    p50, batch50 = query_p50(P50_CPUS)
     robust = robustness_build()
     queries = run_headline(SF_DIR)
 
@@ -420,6 +446,7 @@ def main() -> None:
             "efficiency": round(eff, 3),
         },
         "bm25_p50_sec": round(p50, 4),
+        "bm25_batch50_sec": round(batch50, 4),
         "robustness": robust,
     }
     write_baseline_md(result)

@@ -78,12 +78,22 @@ _Z = np.zeros(0, np.uint64)
 
 
 def _decode_term_blocks(
-    rows: pd.DataFrame, candidates: np.ndarray | None, want: int = 3
+    rows: pd.DataFrame,
+    candidates: np.ndarray | None,
+    want: int = 3,
+    cache: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one term's blocks within a shard, skipping blocks whose
     [first_doc_id, last_doc_id] fence misses the candidate set.
     Returns (doc_ids, tfs, doclens); ``want`` trims decode work:
-    1 = ids only, 2 = ids+tfs, 3 = all three payloads."""
+    1 = ids only, 2 = ids+tfs, 3 = all three payloads.
+
+    ``cache`` (block_id → decoded triple) shares decode work across
+    the queries of a batch (query/batch.py): the single-query path
+    passes None and is byte-identical to the uncached code.  Cached
+    entries always hold all three payloads — a block decoded once
+    serves every later ``want`` level — so ``want`` only trims the
+    cache-miss cost."""
     order = np.argsort(rows["block_id"].to_numpy())
     firsts = rows["first_doc_id"].to_numpy()[order]
     lasts = rows["last_doc_id"].to_numpy()[order]
@@ -95,10 +105,24 @@ def _decode_term_blocks(
         left = np.searchsorted(candidates, firsts, side="left")
         keep = (left < candidates.size) & (candidates[np.minimum(left, candidates.size - 1)] <= lasts)
     d_parts, t_parts, l_parts = [], [], []
+    bids = rows["block_id"].to_numpy()[order]
     dvb = rows["doc_ids_vb"].to_numpy()[order]
     tvb = rows["tfs_vb"].to_numpy()[order]
     lvb = rows["dls_vb"].to_numpy()[order]
     for i in np.flatnonzero(keep):
+        if cache is not None:
+            trip = cache.get(bids[i])
+            if trip is None:
+                trip = (
+                    delta_decode(vb_decode(bytes(dvb[i]))),
+                    vb_decode(bytes(tvb[i])),
+                    vb_decode(bytes(lvb[i])),
+                )
+                cache[bids[i]] = trip
+            d_parts.append(trip[0])
+            t_parts.append(trip[1])
+            l_parts.append(trip[2])
+            continue
         d_parts.append(delta_decode(vb_decode(bytes(dvb[i]))))
         if want >= 2:
             t_parts.append(vb_decode(bytes(tvb[i])))
@@ -131,22 +155,54 @@ def _shard_topk(
         return empty
 
     by_term = dict(tuple(post.groupby("term", sort=False)))
+    return _topk_from_terms(
+        by_term, filter_ids, idfs, avgdl, k, n_terms, or_mode, tfn_ref
+    )
+
+
+def _topk_from_terms(
+    by_term: dict[str, pd.DataFrame],
+    filter_ids: np.ndarray | None,
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    n_terms: int,
+    or_mode: bool,
+    tfn_ref: float = TFN_REF_AVGDL,
+    caches: dict[str, dict] | None = None,
+) -> pd.DataFrame:
+    """Core of one shard's top-k, over an already-grouped
+    term → posting-rows map.  The single-query kernel calls it with
+    the whole shard group; the batch kernel (query/batch.py) calls it
+    once per query with that query's term subset plus per-term decode
+    caches so queries sharing a term never decode a block twice."""
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    if filter_ids is not None and filter_ids.size == 0:
+        return empty
     if not or_mode and len(by_term) < n_terms:
         return empty  # a query term absent from this shard ⇒ no AND match here
+    if not by_term:
+        return empty
+
+    def _cache(t: str) -> dict | None:
+        return caches.get(t) if caches is not None else None
 
     if or_mode:
-        return _shard_topk_or(by_term, filter_ids, idfs, avgdl, k, empty, tfn_ref)
+        return _shard_topk_or(by_term, filter_ids, idfs, avgdl, k, empty,
+                              tfn_ref, caches)
 
     # AND mode: drive from rarest term (fewest posting entries in shard)
     term_order = sorted(by_term, key=lambda t: int(by_term[t]["n"].sum()))
-    cand, _, _ = _decode_term_blocks(by_term[term_order[0]], None, want=1)
+    cand, _, _ = _decode_term_blocks(by_term[term_order[0]], None, want=1,
+                                     cache=_cache(term_order[0]))
     if filter_ids is not None:
         cand = cand[np.isin(cand, filter_ids)]
     tf_by_term: dict[str, np.ndarray] = {}
     for t in term_order[1:]:
         if cand.size == 0:
             return empty
-        d, tf, _ = _decode_term_blocks(by_term[t], cand, want=2)
+        d, tf, _ = _decode_term_blocks(by_term[t], cand, want=2, cache=_cache(t))
         mask = np.isin(cand, d)
         cand = cand[mask]
         if cand.size == 0:
@@ -159,7 +215,8 @@ def _shard_topk(
                 tf_by_term[t2] = tf_by_term[t2][mask]
     # tf + doclen of driver term for surviving candidates (doclen rides
     # in every term's blocks; any one term supplies it)
-    d0, tf0, dl0 = _decode_term_blocks(by_term[term_order[0]], cand)
+    d0, tf0, dl0 = _decode_term_blocks(by_term[term_order[0]], cand,
+                                       cache=_cache(term_order[0]))
     sel0 = np.searchsorted(d0, cand)
     tf_by_term[term_order[0]] = tf0[sel0]
 
@@ -173,7 +230,7 @@ def _shard_topk(
     return _local_topk(cand, score, k)
 
 
-def _score_docs(cand, by_term, idfs, avgdl):
+def _score_docs(cand, by_term, idfs, avgdl, caches=None):
     """Exact OR score of given docs: fence-decode each term's blocks
     around the candidate set and accumulate present contributions.
     doclen comes from the posting payloads themselves."""
@@ -181,7 +238,9 @@ def _score_docs(cand, by_term, idfs, avgdl):
     have_dl = np.zeros(cand.size, dtype=bool)
     contrib = []
     for t, rows in by_term.items():
-        d, tf, dls = _decode_term_blocks(rows, cand)
+        d, tf, dls = _decode_term_blocks(
+            rows, cand, cache=caches.get(t) if caches is not None else None
+        )
         if d.size == 0:
             continue
         pos = np.searchsorted(d, cand)
@@ -213,7 +272,8 @@ def _block_bounds(
 
 
 def _shard_topk_or(
-    by_term, filter_ids, idfs, avgdl, k, empty, tfn_ref=TFN_REF_AVGDL
+    by_term, filter_ids, idfs, avgdl, k, empty, tfn_ref=TFN_REF_AVGDL,
+    caches=None,
 ) -> pd.DataFrame:
     """OR mode: block-max WAND-style pruning, exact results.
 
@@ -240,14 +300,15 @@ def _shard_topk_or(
     seed_parts = []
     for t, rows in by_term.items():
         order = np.argsort(-ubs[t])
-        d, _, _ = _decode_term_blocks(rows.iloc[order[:n_seed]], None, want=1)
+        d, _, _ = _decode_term_blocks(rows.iloc[order[:n_seed]], None, want=1,
+                                      cache=caches.get(t) if caches is not None else None)
         seed_parts.append(d)
     seed_docs = np.unique(np.concatenate(seed_parts))
     if filter_ids is not None:
         seed_docs = seed_docs[np.isin(seed_docs, filter_ids)]
     theta = 0.0
     if seed_docs.size:
-        seed_scores = _score_docs(seed_docs, by_term, idfs, avgdl)
+        seed_scores = _score_docs(seed_docs, by_term, idfs, avgdl, caches)
         if seed_scores.size >= k:
             theta = float(np.partition(-seed_scores, k - 1)[k - 1] * -1)
 
@@ -259,7 +320,8 @@ def _shard_topk_or(
         if not keep.any():
             continue
         kept = rows[pd.Series(keep, index=rows.index)]
-        d, _, _ = _decode_term_blocks(kept, None, want=1)
+        d, _, _ = _decode_term_blocks(kept, None, want=1,
+                                      cache=caches.get(t) if caches is not None else None)
         cand_parts.append(d)
     cand = np.unique(np.concatenate(cand_parts)) if cand_parts else np.zeros(0, np.uint64)
     if filter_ids is not None:
@@ -268,7 +330,7 @@ def _shard_topk_or(
         return empty
 
     # 3. exact rescore of all surviving candidates
-    score = _score_docs(cand, by_term, idfs, avgdl)
+    score = _score_docs(cand, by_term, idfs, avgdl, caches)
     return _local_topk(cand, score, k)
 
 

@@ -90,7 +90,8 @@ from . import spatial  # noqa: E402,F401
 # (all entries, incl. the tail) and its green run is recorded each
 # round, so rotation never un-gates an operator locally.
 _TAIL = [
-    "bm25_or_mode",  # OR semantics still gated by bm25_indexed_or
+    "bm25_or_mode",  # OR semantics still gated by bm25_batch_topk's OR member
+    "bm25_indexed_or",  # OR block-max kernel gated by bm25_batch_topk (same kernel code)
     "doc_length_top",  # doc-stat scan gated by term_stats_top / indexed_term_stats_top
     "lsh_bucket_histogram",  # LSH bucketing gated by ann_lsh_candidates / ann_multiband_candidates
     "label_centroid_norm",  # centroid + norm exprs gated by ann_ivf_probe

@@ -377,6 +377,73 @@ def bm25_indexed_stopword_and(spark, sf_dir):
     return _indexed_topk(spark, sf_dir, ["the", "data"])
 
 
+# --- batched multi-query evaluation (query/batch.py) -------------------------
+
+#: (query_id, terms, or_mode, lang) — one AND, one OR, one lang-filtered
+#: and one stopword-tier query share ONE scan + kernel pass; the three
+#: shared terms ("spark", "join" ×2, "data" ×2) exercise the
+#: cross-query block-decode cache.
+_BATCH_SPECS = [
+    ("q0_and", ["spark", "join"], False, None),
+    ("q1_or", ["spark", "join"], True, None),
+    ("q2_lang", ["data", "table"], False, "en"),
+    ("q3_stop", ["the", "data"], False, None),
+]
+
+
+def _batch_sql(k: int = 10) -> str:
+    parts = [
+        f"SELECT '{qid}' AS query_id, doc_id, score\n"
+        f"FROM ({_bm25_sql(terms, k=k, lang=lang, and_mode=not or_mode)})"
+        for qid, terms, or_mode, lang in _BATCH_SPECS
+    ]
+    return (
+        "\nUNION ALL\n".join(parts)
+        + "\nORDER BY query_id ASC, score DESC, doc_id ASC"
+    )
+
+
+@register("bm25_batch_topk", _batch_sql())
+def bm25_batch_topk(spark, sf_dir):
+    """Bulk query evaluation: the whole heterogeneous batch (AND + OR +
+    lang-filtered + stopword-tier) is ONE Spark job — one union-term
+    postings scan, one per-shard kernel that decodes each shared
+    posting block once for all queries (query/batch.py).  The driver
+    row gates per-query rank identity of the batched kernel against
+    first-principles SQL.  Same rounded-ordering margin discipline as
+    ``_indexed_topk``, applied per query."""
+    from pyspark.sql import Window
+
+    from ..query.batch import bm25_topk_batch
+
+    cat = _suite_catalog(spark, sf_dir)
+    k = 10
+    specs = [
+        {"query_id": qid, "query": " ".join(terms), "or_mode": om, "lang": lang}
+        for qid, terms, om, lang in _BATCH_SPECS
+    ]
+    for margin in (100, 1000):
+        pool = bm25_topk_batch(spark, cat, specs, k=k + margin).collect()
+        ok = True
+        for qid, _, _, _ in _BATCH_SPECS:
+            scores = sorted((r["score"] for r in pool if r["query_id"] == qid),
+                            reverse=True)
+            if len(scores) >= k + margin and scores[-1] > scores[k - 1] - 2e-4:
+                ok = False
+                break
+        if ok:
+            break
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        spark.createDataFrame(pool, "query_id string, doc_id long, score double")
+        .select("query_id", "doc_id", F.round("score", 4).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy(F.asc("query_id"), F.desc("score"), F.asc("doc_id"))
+    )
+
+
 @register(
     "indexed_term_stats_top",
     f"""

@@ -1,0 +1,102 @@
+"""Batch multi-query engine (query/batch.py): exact rank identity with
+the single-query block-max engine across the full reference query set
+— AND, OR, stopword-tier, absent-term, lang-filtered and ts-filtered
+queries all evaluated in ONE batch call, compared per query against
+``bm25_topk_blockmax``.  The batch kernel runs the same
+``_topk_from_terms`` code per query; the only batch-specific state is
+the shared block-decode cache, so identity here gates that cache.
+"""
+
+import math
+
+import pandas as pd
+import pytest
+
+from datamart_spark.corpus import generate_documents, generate_queries
+from datamart_spark.index import IndexCatalog, build_index
+from datamart_spark.query import bm25_topk_batch, bm25_topk_blockmax
+
+N_DOCS = 1200
+K = 10
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("batch_index"))
+    catalog = IndexCatalog(root)
+    docs = generate_documents(spark, N_DOCS)
+    build_index(docs, catalog, n_shards=8)
+    return catalog
+
+
+def _specs(or_ids=()):
+    """Reference query set → batch spec dicts (heterogeneous filters)."""
+    out = []
+    for _, q in generate_queries().iterrows():
+        out.append(
+            {
+                "query_id": f"q{q['query_id']:02d}",
+                "query": q["query"],
+                "or_mode": int(q["query_id"]) in set(or_ids),
+                "lang": q["lang_filter"] if isinstance(q["lang_filter"], str) else None,
+                "ts_lo": q["ts_lo"] if pd.notna(q["ts_lo"]) else None,
+                "ts_hi": q["ts_hi"] if pd.notna(q["ts_hi"]) else None,
+            }
+        )
+    return out
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_batch_rank_identity_full_query_set(built, spark):
+    catalog = built
+    # a third of the set in OR mode, incl. absent-term + filtered ids,
+    # so both kernel modes run against the shared decode caches
+    or_ids = (1, 21, 26, 31, 36, 41, 45, 47, 49)
+    specs = _specs(or_ids)
+    batched = bm25_topk_batch(spark, catalog, specs, k=K).collect()
+    by_qid: dict[str, list] = {}
+    for r in batched:
+        by_qid.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+
+    for s in specs:
+        want = _rows(
+            bm25_topk_blockmax(
+                spark,
+                catalog,
+                s["query"],
+                k=K,
+                lang=s["lang"],
+                ts_lo=s["ts_lo"],
+                ts_hi=s["ts_hi"],
+                or_mode=s["or_mode"],
+            )
+        )
+        got = by_qid.get(s["query_id"], [])
+        assert len(got) == len(want), (s, got, want)
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gd == wd, (s, got, want)
+            assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), (s, gd, gs, ws)
+
+
+def test_batch_empty_and_edge_inputs(built, spark):
+    catalog = built
+    # all-absent AND, all-absent OR, empty-analysis query → zero rows
+    specs = [
+        {"query_id": "a", "query": "zzzneverseen qqqneverseen"},
+        {"query_id": "b", "query": "zzzneverseen", "or_mode": True},
+        {"query_id": "c", "query": "    "},
+    ]
+    assert bm25_topk_batch(spark, catalog, specs, k=K).count() == 0
+    assert bm25_topk_batch(spark, catalog, [], k=K).count() == 0
+
+
+def test_batch_single_query_matches(built, spark):
+    """A 1-query batch is the single-query engine with a query_id."""
+    catalog = built
+    specs = [{"query_id": "only", "query": "the data", "lang": "en"}]
+    got = _rows(bm25_topk_batch(spark, catalog, specs, k=K).drop("query_id"))
+    want = _rows(bm25_topk_blockmax(spark, catalog, "the data", k=K, lang="en"))
+    assert got == want
