@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..index.catalog import IndexCatalog
+from .batch import bm25_topk_batch
 from .wand import bm25_topk_blockmax
 
 TOP_K_SIZE = 50  # reference search/base.py:1
@@ -72,4 +73,36 @@ def search(
         F.broadcast(hits).join(meta, "doc_id")
         .select("doc_id", *meta_cols, "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def search_many(
+    spark: SparkSession,
+    catalog: IndexCatalog,
+    queries: list[dict],
+    k: int = TOP_K_SIZE,
+) -> DataFrame:
+    """Bulk ranked search: the whole query batch (per-query AND/OR mode
+    and lang/ts filters — see ``bm25_topk_batch``) in ONE job, hydrated
+    with one broadcast join.  Returns (query_id, doc_id, url, lang,
+    warc_ts, score), each query's hits ordered (score desc, doc_id
+    asc).  The reference answers one ``POST /api/v1/search`` per HTTP
+    request; a bulk evaluation client looping that endpoint pays N
+    round-trips + N ES requests — this is the engine-side batch form
+    of the same semantics (apiserver/apiserver/search/__init__.py:
+    429-604 per query, rank-identical per tests/test_batch_queries.py).
+    """
+    hits = bm25_topk_batch(spark, catalog, queries, k=k)
+    meta_cols = [
+        c for c in ("url", "lang", "warc_ts")
+        if c in catalog.read(spark, "doc_stats").columns
+    ]
+    if not meta_cols:
+        return hits
+    meta = catalog.read(spark, "doc_stats").select("doc_id", *meta_cols)
+    # hits ≤ k·Q rows — broadcast it; doc_stats is never shuffled
+    return (
+        F.broadcast(hits).join(meta, "doc_id")
+        .select("query_id", "doc_id", *meta_cols, "score")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )

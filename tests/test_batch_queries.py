@@ -93,10 +93,43 @@ def test_batch_empty_and_edge_inputs(built, spark):
     assert bm25_topk_batch(spark, catalog, [], k=K).count() == 0
 
 
+def test_search_many_hydrates_and_matches_search(built, spark):
+    """search_many = per-query search(): same hits, same metadata."""
+    from datamart_spark.corpus import _VOCAB
+    from datamart_spark.query import search, search_many
+
+    catalog = built
+    q = f"the {_VOCAB[60]}"
+    specs = [
+        {"query_id": "a", "query": q},
+        {"query_id": "b", "query": q, "lang": "de"},
+    ]
+    out = search_many(spark, catalog, specs, k=K).collect()
+    assert out and set(out[0].asDict()) == {
+        "query_id", "doc_id", "url", "lang", "warc_ts", "score"
+    }
+    for s in specs:
+        want = [
+            (r["doc_id"], r["url"], r["lang"], r["score"])
+            for r in search(spark, catalog, s["query"], k=K,
+                            lang=s.get("lang")).collect()
+        ]
+        got = [
+            (r["doc_id"], r["url"], r["lang"], r["score"])
+            for r in out
+            if r["query_id"] == s["query_id"]
+        ]
+        assert got == want, s
+    assert all(r["lang"] == "de" for r in out if r["query_id"] == "b")
+
+
 def test_batch_single_query_matches(built, spark):
     """A 1-query batch is the single-query engine with a query_id."""
+    from datamart_spark.corpus import _VOCAB
+
     catalog = built
-    specs = [{"query_id": "only", "query": "the data", "lang": "en"}]
+    q = f"the {_VOCAB[60]}"  # stopword-tier + mid-frequency term
+    specs = [{"query_id": "only", "query": q, "lang": "en"}]
     got = _rows(bm25_topk_batch(spark, catalog, specs, k=K).drop("query_id"))
-    want = _rows(bm25_topk_blockmax(spark, catalog, "the data", k=K, lang="en"))
-    assert got == want
+    want = _rows(bm25_topk_blockmax(spark, catalog, q, k=K, lang="en"))
+    assert got and got == want
