@@ -159,7 +159,15 @@ def _cached_filter_stats(spark: SparkSession, catalog: IndexCatalog) -> DataFram
     df = _DS_CACHE.get(key)
     if df is None:
         for old in list(_DS_CACHE):
-            _DS_CACHE.pop(old).unpersist()
+            stale = _DS_CACHE.pop(old)
+            # only unpersist handles owned by the LIVE SparkContext: an
+            # entry keyed to a previous (stopped) session died with its
+            # context — calling unpersist through its dead JVM handle
+            # NPEs (driverEndpoint null) and would fail the first
+            # filtered query of every new session in a multi-session
+            # process (bench.py, long-lived notebooks)
+            if old[0] == key[0]:
+                stale.unpersist()
         ds = catalog.read(spark, "doc_stats")
         cols = [c for c in ("shard", "doc_id", "lang", "warc_ts") if c in ds.columns]
         from pyspark import StorageLevel

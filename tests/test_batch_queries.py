@@ -81,6 +81,34 @@ def test_batch_rank_identity_full_query_set(built, spark):
             assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), (s, gd, gs, ws)
 
 
+def test_filter_stats_cache_skips_dead_session_handles(built, spark):
+    """Evicting a _DS_CACHE entry from a PREVIOUS SparkSession must not
+    touch its dead JVM handle (unpersist on a stopped context NPEs —
+    it failed the first filtered query of every new session in a
+    multi-session process until guarded)."""
+    from datamart_spark.query import bm25
+
+    class DeadHandle:
+        def unpersist(self):
+            raise RuntimeError("unpersist reached a stopped session's handle")
+
+    catalog = built
+    # eviction runs only on a cache miss: drop live entries (unpersist
+    # is safe for them — same session) so the lookup below misses
+    for k in list(bm25._DS_CACHE):
+        bm25._DS_CACHE.pop(k).unpersist()
+    stale_key = ("app-from-stopped-session", catalog.root, -1, 0.0)
+    bm25._DS_CACHE[stale_key] = DeadHandle()
+    try:
+        out = bm25_topk_batch(
+            spark, catalog, [{"query_id": "x", "query": "the", "lang": "en"}], k=5
+        ).collect()
+        assert stale_key not in bm25._DS_CACHE  # evicted without unpersist
+        assert out  # and the filtered query itself worked
+    finally:
+        bm25._DS_CACHE.pop(stale_key, None)
+
+
 def test_batch_empty_and_edge_inputs(built, spark):
     catalog = built
     # all-absent AND, all-absent OR, empty-analysis query → zero rows
