@@ -15,9 +15,13 @@ unfiltering) and JPEG (``jpeg.decode_jpeg`` — pure-Python T.81 Huffman
 restart intervals).  Video METADATA is real too: ``sniff_video`` /
 ``decode_video_meta`` parse MP4/ISO-BMFF boxes (ftyp brand, mvhd
 duration, tkhd dimensions, stsd codec fourcc — ISO/IEC 14496-12 is
-public struct layout).  Only video FRAME decode remains the documented
-stub: pass ``extractor`` or get ``NotImplementedError`` at plan-build
-time.
+public struct layout) and RIFF/AVI headers (``avi.parse_avi``).  Video
+FRAME decode is REAL for one real-world codec: MJPEG-in-AVI frames are
+plain JPEGs, so ``sample_video_frames`` (container walk → per-frame
+binary rows) and ``avi.mjpeg_feature_extractor`` (frame-sampled pixel
+histograms via the in-repo JPEG codec) run with no external library.
+Other video codecs (H.264 etc.) remain the documented boundary: pass
+``extractor`` or get ``NotImplementedError`` at plan-build time.
 
 Scale: payload columns are the heavy bytes — keep them OUT of shuffles.
 All kernels here are narrow (mapInPandas, no exchange); pipelines
@@ -140,9 +144,21 @@ def sniff_video(payload: bytes):
     (``extract_image_features``'s ``extractor``); every sizing /
     filtering / budgeting pipeline need is served from here.
 
+    RIFF/AVI payloads return the same tuple shape (brand "AVI",
+    duration from avih frame count × frame duration, strh vids fourcc
+    as codec, stream count as n_tracks) via ``avi.parse_avi``.
+
     → (brand, duration_sec, width, height, codec, n_tracks) or None
-    when the payload is not ISO-BMFF."""
-    if payload is None or len(payload) < 12 or payload[4:8] != b"ftyp":
+    when the payload is neither ISO-BMFF nor AVI."""
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .avi import parse_avi
+
+        m = parse_avi(payload)
+        return ("AVI", m["duration_sec"], m["width"], m["height"],
+                m["codec"], m["n_streams"])
+    if payload[4:8] != b"ftyp":
         return None
     brand = payload[8:12].decode("latin-1").strip() or None
     duration = None
@@ -211,14 +227,17 @@ def decode_video_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            metas = [
-                sniff_video(bytes(p) if p is not None else None)
-                for p in b[payload_col]
+            payloads = [bytes(p) if p is not None else None for p in b[payload_col]]
+            metas = [sniff_video(p) for p in payloads]
+            fmts = [
+                None if m is None
+                else ("avi" if p[:4] == b"RIFF" else "mp4")
+                for p, m in zip(payloads, metas)
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": b["doc_id"],
-                    "format": ["mp4" if m else None for m in metas],
+                    "format": fmts,
                     "brand": [m[0] if m else None for m in metas],
                     "duration_sec": [m[1] if m else None for m in metas],
                     "width": pd.array(
@@ -242,6 +261,61 @@ def decode_video_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame, payload_col: str = "payload", frame_stride: int = 1
+) -> DataFrame:
+    """Frame-sample operator over MJPEG/AVI binary columns: every
+    ``frame_stride``-th video frame as its own (doc_id, frame_idx,
+    frame-JPEG binary) row — each emitted frame is a standalone JPEG
+    the in-repo codec decodes (``jpeg.decode_jpeg``).  Non-AVI and
+    null payloads contribute no rows (sizing/filtering pipelines
+    select the container format with ``decode_video_meta`` first).
+
+    Scale: narrow mapInPandas — frames are emitted inside the task
+    that read the payload partition, so the heavy bytes fan out
+    without a shuffle; downstream per-frame work (feature extraction,
+    dedup) keys on (doc_id, frame_idx)."""
+    from .avi import avi_video_frames, is_avi
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for doc_id, p in zip(b["doc_id"], b[payload_col]):
+                if p is None:
+                    continue
+                p = bytes(p)
+                if not is_avi(p):
+                    continue
+                for i, f in avi_video_frames(p):
+                    if i % frame_stride:
+                        continue
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(f)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        kernel, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
 def feature_schema(dim: int) -> T.StructType:
     return T.StructType(
         [
@@ -258,19 +332,23 @@ def extract_image_features(
     extractor: Callable[[bytes], np.ndarray] | None = None,
 ) -> DataFrame:
     """Pixel-level feature extraction.  In-repo real decoders:
-    ``png.png_feature_extractor(dim)`` for PNG and
+    ``png.png_feature_extractor(dim)`` for PNG,
     ``jpeg.jpeg_feature_extractor(dim)`` for JPEG — baseline AND
-    progressive, grayscale and YCbCr color, any integer subsampling.
-    The remaining codecs (video) need a library this container lacks —
-    pass ``extractor`` or this raises at plan-build time, not inside
-    executors."""
+    progressive, grayscale and YCbCr color, any integer subsampling —
+    and ``avi.mjpeg_feature_extractor(dim, frame_stride)`` for
+    MJPEG/AVI video (frame-sampled luma histograms through the same
+    JPEG codec).  Other video codecs need a library this container
+    lacks — pass ``extractor`` or this raises at plan-build time, not
+    inside executors."""
     if extractor is None:
         raise NotImplementedError(
             "pass `extractor` (bytes -> np.ndarray[dim]): "
-            "png.png_feature_extractor(dim) for PNG or "
+            "png.png_feature_extractor(dim) for PNG, "
             "jpeg.jpeg_feature_extractor(dim) for JPEG (baseline + "
-            "progressive, grayscale + YCbCr color; both in-repo, real); "
-            "an ffmpeg-based one in production for video"
+            "progressive, grayscale + YCbCr color), "
+            "avi.mjpeg_feature_extractor(dim) for MJPEG/AVI video "
+            "(all in-repo, real); an ffmpeg-based one in production "
+            "for other video codecs"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
