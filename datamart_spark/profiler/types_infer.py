@@ -86,6 +86,7 @@ class ColumnProfile:
     temporal_resolution: str | None = None
     admin_area_level: int | None = None
     admin_bounds: tuple[float, float, float, float] | None = None
+    address_bounds: tuple[float, float, float, float] | None = None
 
 
 def _is_id_name(name: str) -> bool:
@@ -100,6 +101,8 @@ def profile_dataframe(
     compute_ranges: bool = True,
     range_method: str = "kmeans",
     sample_cap: int = 100_000,
+    nominatim: str | None = None,
+    nominatim_fetch=None,
 ) -> list[ColumnProfile]:
     """Profile every column.  Input columns are treated as strings
     (reference ingests everything as str, core.py:210-217).
@@ -186,6 +189,7 @@ def profile_dataframe(
     numeric_cols: list[str] = []
     temporal_cols: list[str] = []
     admin_cols: list[str] = []
+    text_cols: list[str] = []
     for c in cols:
         rows = row[f"{c}__rows"]
         empty = row[f"{c}__empty"]
@@ -240,6 +244,7 @@ def profile_dataframe(
             p.semantic_types.append(SEM_ENUMERATION)
         if free_text:
             p.semantic_types.append(TYPE_TEXT)  # schema.org/Text semantic
+            text_cols.append(c)
         if _is_id_name(c) and p.structural_type == TYPE_INTEGER:
             p.semantic_types.append(SEM_IDENTIFIER)
         # lat/long: value range AND column-name substring must both match
@@ -303,6 +308,40 @@ def profile_dataframe(
                 # the reference keeps only non-degenerate envelopes
                 if b[1] - b[0] > 0.01 and b[3] - b[2] > 0.01:
                     by_name_adm[c].admin_bounds = b
+
+    if nominatim is not None and text_cols:
+        # Resolve free-text columns' values against Nominatim and mark
+        # ADDRESS when ≥80% of the non-empty values resolve (reference
+        # core.py:469-484; gate = structural TEXT + semantic TEXT, the
+        # same columns as text_cols here).  Resolution happens over a
+        # seeded driver-side sample — the reference itself profiles a
+        # seeded ≤50 MB sample (core.py:199-213) and caps distinct
+        # lookups at 200 per column; deviation: spatial coverage is the
+        # resolved points' envelope, not get_spatial_ranges' 2-D KMeans
+        # clusters (same deterministic-Lloyd's trade-off as A8).
+        from .nominatim import SEM_ADDRESS, is_address_column, nominatim_resolve_all
+
+        by_name_txt = {p.name: p for p in profiles}
+        nb_rows_t = profiles[0].nb_rows if profiles else 0
+        for c in text_cols:
+            vals_df = df.select(F.col(c).cast("string").alias("v"))
+            if nb_rows_t > sample_cap:
+                vals_df = vals_df.sample(
+                    fraction=min(1.0, 1.1 * sample_cap / nb_rows_t), seed=89
+                ).limit(sample_cap)
+            vals = [r["v"] for r in vals_df.collect()]
+            locations, non_empty = nominatim_resolve_all(
+                nominatim, vals, fetch=nominatim_fetch
+            )
+            if non_empty > 0 and is_address_column(locations, non_empty):
+                p = by_name_txt[c]
+                p.semantic_types.append(SEM_ADDRESS)
+                lats = [pt[0] for pt in locations]
+                lons = [pt[1] for pt in locations]
+                if lats:
+                    p.address_bounds = (
+                        min(lats), max(lats), min(lons), max(lons)
+                    )
 
     if numeric_cols:
         stat_aggs = []
