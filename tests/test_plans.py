@@ -176,3 +176,54 @@ def test_filtered_query_doc_stats_side_exchange_free(spark, catalog):
     # must be filter/project — no Exchange
     tail = plan.split("InMemoryTableScan")[0]
     assert "Exchange hashpartitioning" not in tail, plan
+
+
+def test_batch_query_plan_single_scan(spark, catalog):
+    """The batch engine's whole point at scale: N queries must compile
+    to ONE term-pruned postings scan (term IN over the union of every
+    query's terms pushed to parquet), no join explosion — query
+    fan-out lives inside the per-shard kernel, not the plan."""
+    from datamart_spark.query import bm25_topk_batch
+
+    from datamart_spark.corpus import _VOCAB
+
+    df = bm25_topk_batch(
+        spark,
+        catalog,
+        [
+            {"query_id": "a", "query": f"the {_VOCAB[60]}"},
+            {"query_id": "b", "query": f"the {_VOCAB[45]}", "or_mode": True},
+            {"query_id": "c", "query": f"{_VOCAB[45]} {_VOCAB[60]}"},
+        ],
+        k=5,
+    )
+    plan = _plan(df)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "In(term" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_batch_query_filtered_plan_shape(spark, catalog):
+    """With per-query filter contexts the batch plan adds exactly the
+    doc-stats side (cogroup) — still one postings scan, filters pushed
+    to the doc_stats source, no nested-loop join."""
+    from datamart_spark.query import bm25_topk_batch
+
+    from datamart_spark.corpus import _VOCAB
+
+    df = bm25_topk_batch(
+        spark,
+        catalog,
+        [
+            {"query_id": "a", "query": f"the {_VOCAB[60]}", "lang": "en"},
+            {"query_id": "b", "query": f"the {_VOCAB[60]}", "lang": "de"},
+            {"query_id": "c", "query": f"the {_VOCAB[60]}"},
+        ],
+        k=5,
+    )
+    plan = _plan(df)
+    assert "In(term" in plan, plan
+    assert "lang" in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
