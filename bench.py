@@ -239,7 +239,7 @@ def query_p50(cpus: int, index_cpus: int = HIGH_CPUS) -> tuple[float, float]:
         dt = time.time() - t0
         batch_best = dt if batch_best is None else min(batch_best, dt)
     spark.stop()
-    return statistics.median(lat), batch_best
+    return statistics.median(lat), batch_best, len(specs)
 
 
 def run_headline(sf_dir: str) -> dict[str, float]:
@@ -280,6 +280,7 @@ def write_baseline_md(result: dict) -> None:
     ib = result["index_build"]
     hi = s["high_cpus"]
     lo = s["low_cpus"]
+    nq = result.get("bm25_query_set_n", 50)
     md = f"""# BENCH/BASELINE — measured numbers (local-mode stand-in)
 
 North rule: indexing-throughput scaling efficiency >= 0.8 between two
@@ -313,14 +314,14 @@ postings={ib['total_postings']}, blocks={ib['total_blocks']}.
 Peak single-node throughput (informational, outside the scaling pair):
 local[{s['peak_cpus']}] = {s['docs_per_sec_peak']:.0f} docs/sec.
 
-## BM25 top-10 query latency (50-query reference set, local[{P50_CPUS}])
+## BM25 top-10 query latency ({nq}-query reference set, local[{P50_CPUS}])
 
 p50 = {result['bm25_p50_sec']:.3f} s/query (block-max DAAT kernel path).
 
-Batched: the same 50 queries through ONE `bm25_topk_batch` call =
+Batched: the same {nq} queries through ONE `bm25_topk_batch` call =
 {result['bm25_batch50_sec']:.2f} s total
-({result['bm25_batch50_sec'] / 50 * 1000:.0f} ms/query amortized,
-{result['bm25_p50_sec'] * 50 / result['bm25_batch50_sec']:.1f}x the
+({result['bm25_batch50_sec'] / nq * 1000:.0f} ms/query amortized,
+{result['bm25_p50_sec'] * nq / result['bm25_batch50_sec']:.1f}x the
 sequential sweep) — one union-term scan + one kernel pass, posting
 blocks decoded once per shard across all queries (query/batch.py).
 
@@ -409,7 +410,7 @@ def main() -> None:
     # peak single-node throughput (informational): the largest level the
     # box can run at all (local[16] ⇒ ~32 runnable threads)
     t_peak, _ = timed_build(PEAK_CPUS)
-    p50, batch50 = query_p50(P50_CPUS)
+    p50, batch50, n_queries = query_p50(P50_CPUS)
     robust = robustness_build()
     queries = run_headline(SF_DIR)
 
@@ -447,6 +448,7 @@ def main() -> None:
         },
         "bm25_p50_sec": round(p50, 4),
         "bm25_batch50_sec": round(batch50, 4),
+        "bm25_query_set_n": n_queries,
         "robustness": robust,
     }
     write_baseline_md(result)
