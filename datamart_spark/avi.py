@@ -88,33 +88,54 @@ def parse_avi(payload: bytes) -> dict:
                     n_streams=streams, width=w, height=h,
                 )
             elif c2 == b"LIST" and payload[s2:s2 + 4] == b"strl":
+                in_vids = False
                 for c3, s3, e3 in _chunks(payload, s2 + 4, e2):
                     if c3 == b"strh" and e3 - s3 >= 8:
-                        if payload[s3:s3 + 4] == b"vids":
-                            meta["codec"] = (
-                                payload[s3 + 4:s3 + 8].decode("latin-1").strip()
-                                or None
-                            )
+                        in_vids = payload[s3:s3 + 4] == b"vids"
+                        if in_vids:
+                            meta["codec"] = _fourcc(payload[s3 + 4:s3 + 8])
+                    elif c3 == b"strf" and in_vids and e3 - s3 >= 20:
+                        # strf is BITMAPINFOHEADER; biCompression (bytes
+                        # 16:20) is the authoritative codec — real-world
+                        # writers often NUL-fill strh's fccHandler
+                        if meta["codec"] is None:
+                            meta["codec"] = _fourcc(payload[s3 + 16:s3 + 20])
     if meta["n_frames"] and meta["usec_per_frame"]:
         meta["duration_sec"] = meta["n_frames"] * meta["usec_per_frame"] / 1e6
     return meta
 
 
+def _fourcc(raw: bytes) -> str | None:
+    """Codec fourcc → str; NUL-filled / space-padded handlers (common in
+    real AVIs) come back as None so the strf fallback can apply."""
+    return raw.strip(b"\x00 ").decode("latin-1") or None
+
+
+def _movi_video_chunks(payload: bytes, start: int, end: int):
+    """Video data chunks ('##dc'/'##db') under a movi span, descending
+    into 'LIST rec ' groups (interleaved VFW-capture AVIs wrap each
+    frame bundle in a rec list — AVI RIFF spec, movi chunk grouping)."""
+    for cc, s, e in _chunks(payload, start, end):
+        if cc == b"LIST" and payload[s:s + 4] == b"rec ":
+            yield from _movi_video_chunks(payload, s + 4, e)
+        elif cc[2:4] in (b"dc", b"db"):
+            yield s, e
+
+
 def avi_video_frames(payload: bytes) -> Iterator[tuple[int, bytes]]:
     """Yield (frame_idx, frame_bytes) for every video chunk ('##dc' /
-    '##db') in the movi list, in stream order.  For an 'MJPG' stream
-    each frame_bytes is a standalone JPEG decodable by
-    jpeg.decode_jpeg."""
+    '##db') in the movi list — including chunks grouped inside
+    'LIST rec ' — in stream order.  For an 'MJPG' stream each
+    frame_bytes is a standalone JPEG decodable by jpeg.decode_jpeg."""
     if not is_avi(payload):
         raise AviError("not a RIFF/AVI payload")
     idx = 0
     for cc, s, e in _chunks(payload, 12, len(payload)):
         if cc != b"LIST" or payload[s:s + 4] != b"movi":
             continue
-        for c2, s2, e2 in _chunks(payload, s + 4, e):
-            if c2[2:4] in (b"dc", b"db"):
-                yield idx, payload[s2:e2]
-                idx += 1
+        for s2, e2 in _movi_video_chunks(payload, s + 4, e):
+            yield idx, payload[s2:e2]
+            idx += 1
 
 
 def encode_mjpeg_avi(
@@ -167,6 +188,8 @@ def mjpeg_feature_extractor(dim: int = 16, frame_stride: int = 1):
     and average the per-frame normalized luma histograms — a drop-in
     ``extract_image_features(extractor=...)`` for video columns, the
     same contract as jpeg/png feature extractors."""
+    if frame_stride < 1:
+        raise AviError(f"frame_stride must be >= 1, got {frame_stride}")
     from .jpeg import decode_jpeg
 
     def fn(payload: bytes) -> np.ndarray:

@@ -284,6 +284,11 @@ def sample_video_frames(
     that read the payload partition, so the heavy bytes fan out
     without a shuffle; downstream per-frame work (feature extraction,
     dedup) keys on (doc_id, frame_idx)."""
+    if frame_stride < 1:
+        # plan-build-time validation, same discipline as
+        # extract_image_features — never a ZeroDivisionError inside
+        # executors
+        raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
     from .avi import avi_video_frames, is_avi
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -91,7 +91,9 @@ def nominatim_query(url: str, q, fetch=None, sleep=time.sleep):
 
 def _resolve_batch(url, batch, locations, cache, fetch, sleep) -> int:
     """Resolve one value→count batch; on 500/414 split batches of ≥ 6
-    in half and retry each (spatial.py:234-266).  Returns the count of
+    in half and retry each (spatial.py:234-266 — the reference writes
+    the ``max(2, ·)`` floor verbatim at spatial.py:241, mirrored here
+    even though the constant makes it inert).  Returns the count of
     rows whose value did not resolve."""
     try:
         locs = nominatim_query(url, list(batch.keys()), fetch=fetch, sleep=sleep)

@@ -85,6 +85,14 @@ def bm25_topk_batch(
     stemming = snap.get("stemming", True)
     tokenizer = snap.get("tokenizer", "simple")
 
+    qids = [str(q["query_id"]) for q in queries]
+    if len(set(qids)) != len(qids):
+        dupes = sorted({i for i in qids if qids.count(i) > 1})
+        raise ValueError(
+            f"duplicate query_id(s) in batch: {dupes} — results are "
+            "grouped per query_id, so duplicates would silently merge "
+            "two queries' top-k lists"
+        )
     empty = spark.createDataFrame([], _BATCH_RESULT_SCHEMA)
     analyzed: list[tuple[str, list[str], bool, tuple]] = []
     all_terms: set[str] = set()

@@ -83,10 +83,10 @@ from . import spatial  # noqa: E402,F401
 # row).  Import order alone left the spatial family (P5/J3/J7/R3),
 # keyset pagination (W5) and the lineitem numeric profile permanently
 # past the cap, so ordering is now explicit: entries that are the SOLE
-# driver-facing gate for a SURVEY §2 operator come first, and the five
-# most-redundant variants — each a second gate for an operator already
-# covered by a sibling entry — are pinned to the tail.  The tail five
-# remain registered: `tools/check_oracle.py` runs the FULL registry
+# driver-facing gate for a SURVEY §2 operator come first, and the
+# designated redundant variants — each a second gate for an operator
+# already covered by a sibling entry — are pinned to the tail.  Tail
+# entries remain registered: `tools/check_oracle.py` runs the FULL registry
 # (all entries, incl. the tail) and its green run is recorded each
 # round, so rotation never un-gates an operator locally.
 _TAIL = [

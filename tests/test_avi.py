@@ -151,3 +151,55 @@ def test_extract_image_features_with_video_extractor(spark, avi_payload):
         extractor=mjpeg_feature_extractor(dim=8),
     ).collect()
     assert len(out) == 1 and len(out[0]["features"]) == 8
+
+
+def _chunk(cc: bytes, body: bytes) -> bytes:
+    import struct
+
+    return cc + struct.pack("<I", len(body)) + body + (b"\0" if len(body) & 1 else b"")
+
+
+def test_rec_list_grouped_frames(avi_payload):
+    """Interleaved VFW-capture AVIs wrap frame bundles in 'LIST rec '
+    groups inside movi — the frame walk must descend into them."""
+    import struct
+
+    jpegs, payload = avi_payload
+    # rebuild the payload with each frame wrapped in its own rec list
+    movi_body = b"".join(
+        _chunk(b"LIST", b"rec " + _chunk(b"00dc", f)) for f in jpegs
+    )
+    movi = _chunk(b"LIST", b"movi" + movi_body)
+    # reuse the original header (everything up to the movi LIST)
+    idx = payload.index(b"LIST", 12)
+    while payload[idx + 8:idx + 12] != b"movi":
+        idx = payload.index(b"LIST", idx + 1)
+    rebuilt_body = payload[8:idx] + movi
+    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt_body)) + rebuilt_body
+    got = [f for _, f in avi_video_frames(rebuilt)]
+    assert got == jpegs
+
+
+def test_codec_falls_back_to_strf_compression(avi_payload):
+    """A NUL-filled strh fccHandler (common in real files) must not
+    surface as a garbage codec — strf's biCompression is authoritative."""
+    _, payload = avi_payload
+    i = payload.index(b"vids") + 4
+    assert payload[i:i + 4] == b"MJPG"
+    nulled = payload[:i] + b"\x00\x00\x00\x00" + payload[i + 4:]
+    assert parse_avi(nulled)["codec"] == "MJPG"  # from strf biCompression
+
+
+def test_frame_stride_validated_at_build_time(spark, avi_payload):
+    import pandas as pd
+
+    from datamart_spark.multimodal import sample_video_frames
+
+    _, payload = avi_payload
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": pd.array([1], dtype="int64"), "payload": [payload]})
+    )
+    with pytest.raises(ValueError, match="frame_stride"):
+        sample_video_frames(df, frame_stride=0)
+    with pytest.raises(AviError, match="frame_stride"):
+        mjpeg_feature_extractor(frame_stride=0)

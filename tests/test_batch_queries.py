@@ -161,3 +161,16 @@ def test_batch_single_query_matches(built, spark):
     got = _rows(bm25_topk_batch(spark, catalog, specs, k=K).drop("query_id"))
     want = _rows(bm25_topk_blockmax(spark, catalog, q, k=K, lang="en"))
     assert got and got == want
+
+
+def test_batch_rejects_duplicate_query_ids(built, spark):
+    """Two queries sharing a query_id would silently merge their top-k
+    lists into one wrong ranking — reject at the driver."""
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        bm25_topk_batch(
+            spark,
+            built,
+            [{"query_id": "a", "query": "the"},
+             {"query_id": "a", "query": "data"}],
+            k=5,
+        )
