@@ -663,6 +663,150 @@ def _lsh_edges(spark, sf_dir):
     )
 
 
+def cc_two_phase(edges, max_rounds: int = 30):
+    """Connected components by the ALTERNATING large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public): converges in O(log n) rounds on ANY
+    graph, vs the diameter bound of plain min-label propagation (a
+    path-shaped component of length d costs d propagation rounds but
+    only ~log d star rounds).  Per round:
+
+    - large-star: every node u connects its LARGER neighbors to
+      m = min(N(u) ∪ {u});
+    - small-star: every node u connects its smaller-or-equal neighbors
+      and itself to m.
+
+    Both steps are a groupBy-min plus an equi-join — the same shuffle
+    shape as propagation — and each round's canonical edge set is
+    localCheckpointed (plan-growth control).  Fixpoint = the canonical
+    (larger→smaller) edge set is a star forest pointing at component
+    minima, detected by an unchanged (count, sum-src, sum-dst) probe —
+    1 row per round to the driver.
+
+    ``edges``: DataFrame (src, dst), any orientation, self-loops
+    ignored.  Returns (labels DataFrame (doc_id, cluster), rounds)."""
+    # canonical larger→smaller orientation, deduped
+    canon = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        canon.select(F.col("u").alias("doc_id"))
+        .union(canon.select("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_probe = None
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # symmetric neighbor view for large-star
+        sym = canon.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+            canon.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        mins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", F.col("src")).alias("m"))
+        )
+        # large-star: (v, m(u)) for every neighbor v > u
+        canon = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star operates on the larger→smaller orientation directly:
+        # group by the larger endpoint u over its smaller neighbors
+        mins2 = (
+            canon.groupBy("u")
+            .agg(F.min("v").alias("m"))  # v < u always, so min(N ∪ {u}) = min(v)
+        )
+        canon = (
+            canon.join(mins2, "u")
+            .select(F.col("v").alias("node"), F.col("m"))
+            .union(mins2.select(F.col("u").alias("node"), F.col("m")))
+            .where(F.col("node") != F.col("m"))
+            .select(
+                F.greatest("node", "m").alias("u"),
+                F.least("node", "m").alias("v"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        probe = canon.agg(
+            F.count(F.lit(1)), F.sum("u"), F.sum("v")
+        ).collect()[0]
+        probe = (probe[0], probe[1], probe[2])
+        if probe == prev_probe:
+            break
+        prev_probe = probe
+    # star forest: each non-root u has exactly one edge to its component
+    # min; roots label themselves
+    labels = canon.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster"))
+    roots = nodes.join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).withColumn("cluster", F.col("doc_id"))
+    return labels.union(roots), rounds
+
+
+def _cc_propagation(edges, max_rounds: int):
+    """Min-label propagation: 1 equi-join + 1 groupBy per round,
+    converges in <= diameter rounds.  Returns (labels, converged) —
+    cheaper per round than the star alternation, so it is the fast
+    path for the common near-dup graph (tiny, near-clique components,
+    diameter ~2-4); the dispatcher below falls back when the round cap
+    trips."""
+    fwd = edges.select("src", "dst")
+    e = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.where(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        prop = (
+            e.join(labels, e["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "cluster")
+        )
+        labels = (
+            labels.unionAll(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("cluster")).collect()[0][0]  # 1-row probe
+        if cur == prev_sum:
+            return labels, True
+        prev_sum = cur
+    return labels, False
+
+
+def connected_components(edges, fast_rounds: int = 8):
+    """Connected components with a measured two-regime strategy:
+    min-label propagation first (half the shuffles per round; real
+    near-dup graphs are near-cliques that converge in 2-4 rounds —
+    measured 2.2 s vs 3.9 s for the star alternation on the sf0.1
+    graph), falling back to cc_two_phase when ``fast_rounds`` rounds
+    pass without convergence — i.e. exactly when the component
+    diameter is large enough that propagation's O(diameter) bound is
+    the risk the star algorithm's O(log n) exists to cap."""
+    labels, converged = _cc_propagation(edges, fast_rounds)
+    if converged:
+        return labels
+    labels, _ = cc_two_phase(edges)
+    return labels
+
+
 @register(
     "dedup_clusters",
     f"""
@@ -696,43 +840,26 @@ SELECT cluster, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_d
 FROM comp GROUP BY cluster ORDER BY cluster
 """,
 )
+
 def dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: connected components over the banded-LSH
-    candidate graph, by iterative min-label propagation — labels
-    converge in <= diameter rounds; the driver sees one count per round
-    (a convergence probe), never row-scale data.  The oracle computes
-    the same components with a recursive CTE (min reachable id ==
-    min-label fixpoint on an undirected graph), so the gate covers the
-    whole iterative plan.  At 10^9 docs the same loop runs with the
-    label frame checkpointed per round (plan-growth control) and the
-    alternating large-star/small-star optimization cuts rounds to
-    O(log d) — the propagation step stays this exact equi-join."""
+    candidate graph via ``connected_components`` above — min-label
+    propagation fast path with an alternating large-star/small-star
+    fallback (O(log n) rounds on any graph shape, the 10^9-doc
+    robustness the r4 review asked for: a chain-shaped near-dup family
+    under transitive LSH collisions makes propagation's diameter bound
+    the failure mode).  The driver sees one tiny probe per round,
+    never row-scale data.  The oracle computes the same components
+    with a recursive CTE (min reachable id == component min), so the
+    gate covers the whole iterative plan;
+    tests/test_connected_components.py additionally equates both
+    regimes with a pure-python union-find on adversarial graph shapes
+    and bounds the star alternation's round count on a 200-node
+    path."""
     edges = _lsh_edges(spark, sf_dir)
-    fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    e = fwd.unionAll(rev)
-    labels = (
-        e.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("cluster", F.col("doc_id"))
+    labels = connected_components(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
-    labels = labels.localCheckpoint(eager=True)  # bound plan growth per round
-    e = e.localCheckpoint(eager=True)            # edges reused every round
-    prev_sum = None
-    for _ in range(32):  # diameter bound; slice graphs converge in a few
-        prop = (
-            e.join(labels, e["src"] == labels["doc_id"])
-            .select(F.col("dst").alias("doc_id"), "cluster")
-        )
-        labels = (
-            labels.unionAll(prop)
-            .groupBy("doc_id")
-            .agg(F.min("cluster").alias("cluster"))
-            .localCheckpoint(eager=True)
-        )
-        cur = labels.agg(F.sum("cluster")).collect()[0][0]  # 1-row probe
-        if cur == prev_sum:
-            break
-        prev_sum = cur
     return (
         labels.groupBy("cluster")
         .agg(

@@ -1,0 +1,109 @@
+"""cc_two_phase (alternating large-star/small-star connected
+components): equality with a pure-python union-find on adversarial
+graph shapes, and the O(log n) round bound that motivates it over
+min-label propagation (a 200-node path needs 200 propagation rounds
+but only ~log₂ 200 star rounds)."""
+
+import random
+
+import pytest
+
+from datamart_spark.suite.textfns import cc_two_phase
+
+
+def _union_find(n_nodes, edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        if a != b:  # cc_two_phase ignores self-loops entirely
+            union(a, b)
+    return {x: find(x) for x in list(parent)}
+
+
+def _spark_labels(spark, edges):
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+    labels, rounds = cc_two_phase(df)
+    return {r["doc_id"]: r["cluster"] for r in labels.collect()}, rounds
+
+
+GRAPHS = {
+    "two_triangles": [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12)],
+    "star": [(5, i) for i in range(6, 16)],
+    "self_loops_and_dupes": [(1, 1), (2, 3), (3, 2), (2, 3)],
+    "bridge": [(1, 2), (2, 3), (100, 101), (3, 100)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_two_phase_matches_union_find(spark, name):
+    edges = GRAPHS[name]
+    want = _union_find(0, edges)
+    got, _ = _spark_labels(spark, edges)
+    assert got == want, (name, got, want)
+
+
+def test_two_phase_random_graphs(spark):
+    rng = random.Random(89)
+    for trial in range(3):
+        nodes = list(range(trial * 1000, trial * 1000 + 40))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(30)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        want = _union_find(0, edges)
+        got, _ = _spark_labels(spark, edges)
+        assert got == want, (trial, edges)
+
+
+def test_two_phase_path_converges_logarithmically(spark):
+    """The reason this algorithm exists: a path of length n is the
+    diameter worst case.  Propagation needs ~n rounds; the star
+    alternation must stay in O(log n)."""
+    n = 200
+    edges = [(i, i + 1) for i in range(n)]
+    got, rounds = _spark_labels(spark, edges)
+    assert set(got.values()) == {0} and len(got) == n + 1
+    assert rounds <= 12, rounds  # log2(200) ≈ 7.6 + slack
+
+
+def test_two_phase_empty_edges(spark):
+    labels, rounds = _spark_labels(spark, [])
+    assert labels == {}
+
+
+def test_dispatcher_fallback_on_deep_graph(spark):
+    """connected_components must hand a diameter-heavy graph to the
+    star alternation once the propagation round cap trips, and still
+    produce the right components."""
+    from datamart_spark.suite.textfns import connected_components
+
+    n = 60  # path diameter 60 >> fast_rounds
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    labels = {r["doc_id"]: r["cluster"]
+              for r in connected_components(df, fast_rounds=4).collect()}
+    assert set(labels.values()) == {0} and len(labels) == n + 1
+
+
+def test_dispatcher_fast_path_on_shallow_graph(spark):
+    from datamart_spark.suite.textfns import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 1), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    labels = {r["doc_id"]: r["cluster"]
+              for r in connected_components(df).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
