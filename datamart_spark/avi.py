@@ -92,7 +92,10 @@ def parse_avi(payload: bytes) -> dict:
                 for c3, s3, e3 in _chunks(payload, s2 + 4, e2):
                     if c3 == b"strh" and e3 - s3 >= 8:
                         in_vids = payload[s3:s3 + 4] == b"vids"
-                        if in_vids:
+                        # first video stream wins: a later vids strh
+                        # (NUL-filled or not) must not reset a codec
+                        # already detected
+                        if in_vids and meta["codec"] is None:
                             meta["codec"] = _fourcc(payload[s3 + 4:s3 + 8])
                     elif c3 == b"strf" and in_vids and e3 - s3 >= 20:
                         # strf is BITMAPINFOHEADER; biCompression (bytes
@@ -114,12 +117,25 @@ def _fourcc(raw: bytes) -> str | None:
 def _movi_video_chunks(payload: bytes, start: int, end: int):
     """Video data chunks ('##dc'/'##db') under a movi span, descending
     into 'LIST rec ' groups (interleaved VFW-capture AVIs wrap each
-    frame bundle in a rec list — AVI RIFF spec, movi chunk grouping)."""
-    for cc, s, e in _chunks(payload, start, end):
-        if cc == b"LIST" and payload[s:s + 4] == b"rec ":
-            yield from _movi_video_chunks(payload, s + 4, e)
-        elif cc[2:4] in (b"dc", b"db"):
-            yield s, e
+    frame bundle in a rec list — AVI RIFF spec, movi chunk grouping).
+    Explicit iterator stack, not recursion: a crafted payload can nest
+    rec lists thousands deep, and an untrusted corpus document must
+    surface as an ordinary empty/garbled result, never a
+    RecursionError that kills the executor task.  Document order is
+    preserved — a rec list's children are walked before its later
+    siblings, exactly as the recursive form would."""
+    stack = [_chunks(payload, start, end)]
+    while stack:
+        descended = False
+        for cc, s, e in stack[-1]:
+            if cc == b"LIST" and payload[s:s + 4] == b"rec ":
+                stack.append(_chunks(payload, s + 4, e))
+                descended = True
+                break
+            if cc[2:4] in (b"dc", b"db"):
+                yield s, e
+        if not descended:
+            stack.pop()
 
 
 def avi_video_frames(payload: bytes) -> Iterator[tuple[int, bytes]]:

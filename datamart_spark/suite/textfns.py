@@ -748,6 +748,16 @@ def cc_two_phase(edges, max_rounds: int = 30):
         if probe == prev_probe:
             break
         prev_probe = probe
+    else:
+        # an unconverged canon is NOT a star forest — a node can still
+        # hold two edges, and building labels from it would emit
+        # duplicate doc_ids with non-minimum clusters.  O(log n) rounds
+        # means 30 covers any graph under ~2^30 nodes; exhausting the
+        # cap is a caller error (tiny max_rounds) or a probe collision,
+        # and silence would be a wrong answer.
+        raise ValueError(
+            f"cc_two_phase did not converge within {max_rounds} rounds"
+        )
     # star forest: each non-root u has exactly one edge to its component
     # min; roots label themselves
     labels = canon.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster"))
@@ -788,6 +798,10 @@ def _cc_propagation(edges, max_rounds: int):
         if cur == prev_sum:
             return labels, True
         prev_sum = cur
+    # not converged: the caller falls back to cc_two_phase — release the
+    # abandoned checkpoint blocks instead of pinning them for the job
+    e.unpersist()
+    labels.unpersist()
     return labels, False
 
 
@@ -799,7 +813,13 @@ def connected_components(edges, fast_rounds: int = 8):
     graph), falling back to cc_two_phase when ``fast_rounds`` rounds
     pass without convergence — i.e. exactly when the component
     diameter is large enough that propagation's O(diameter) bound is
-    the risk the star algorithm's O(log n) exists to cap."""
+    the risk the star algorithm's O(log n) exists to cap.
+
+    The input edge lineage (for dedup_clusters: the banded-LSH
+    signature aggs + band self-join — the costliest stage of the whole
+    query) is checkpointed ONCE here, so the fallback re-reads blocks,
+    never re-runs that lineage."""
+    edges = edges.localCheckpoint(eager=True)
     labels, converged = _cc_propagation(edges, fast_rounds)
     if converged:
         return labels

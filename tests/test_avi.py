@@ -203,3 +203,37 @@ def test_frame_stride_validated_at_build_time(spark, avi_payload):
         sample_video_frames(df, frame_stride=0)
     with pytest.raises(AviError, match="frame_stride"):
         mjpeg_feature_extractor(frame_stride=0)
+
+
+def test_deeply_nested_rec_lists_no_recursion_error():
+    """A crafted payload nesting thousands of rec lists must yield its
+    frames (document order) without a RecursionError."""
+    import struct
+
+    frame = encode_jpeg_gray(np.full((8, 8), 7, np.uint8))
+    inner = _chunk(b"00dc", frame)
+    for _ in range(2000):
+        inner = _chunk(b"LIST", b"rec " + inner)
+    movi = _chunk(b"LIST", b"movi" + inner + _chunk(b"00dc", frame))
+    body = b"AVI " + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = [f for _, f in avi_video_frames(payload)]
+    assert got == [frame, frame]  # nested child before the later sibling
+
+
+def test_second_video_stream_cannot_reset_codec(avi_payload):
+    """First video stream wins: a second vids strh with a NUL handler
+    must not reset an already-detected codec."""
+    import struct
+
+    _, payload = avi_payload
+    i = payload.index(b"LIST", 12)  # hdrl list
+    assert payload[i + 8:i + 12] == b"hdrl"
+    strh2 = b"vids" + b"\x00" * 4 + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 10, 0, 1, 0, 0, 0) + struct.pack("<4H", 0, 0, 8, 8)
+    strl2 = _chunk(b"LIST", b"strl" + _chunk(b"strh", strh2))
+    hdrl_end = i + 8 + struct.unpack("<I", payload[i + 4:i + 8])[0]
+    grown = payload[i + 8:hdrl_end] + strl2
+    rebuilt_hdrl = b"LIST" + struct.pack("<I", len(grown)) + grown
+    body = payload[8:i] + rebuilt_hdrl + payload[hdrl_end:]
+    rebuilt = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_avi(rebuilt)["codec"] == "MJPG"

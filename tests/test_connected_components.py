@@ -107,3 +107,13 @@ def test_dispatcher_fast_path_on_shallow_graph(spark):
     labels = {r["doc_id"]: r["cluster"]
               for r in connected_components(df).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_two_phase_raises_on_round_cap(spark):
+    """An unconverged edge set is not a star forest — building labels
+    from it would silently emit duplicate doc_ids, so the cap must
+    raise instead."""
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(ValueError, match="did not converge"):
+        cc_two_phase(df, max_rounds=2)
