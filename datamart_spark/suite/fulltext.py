@@ -379,15 +379,18 @@ def bm25_indexed_stopword_and(spark, sf_dir):
 
 # --- batched multi-query evaluation (query/batch.py) -------------------------
 
-#: (query_id, terms, or_mode, lang) — one AND, one OR, one lang-filtered
-#: and one stopword-tier query share ONE scan + kernel pass; the three
-#: shared terms ("spark", "join" ×2, "data" ×2) exercise the
-#: cross-query block-decode cache.
+#: (query_id, terms, or_mode, lang) — one AND, one OR, TWO
+#: differently-lang-filtered and one stopword-tier query share ONE
+#: scan + kernel pass; the two filter contexts ride the same cogroup
+#: as context-tagged doc-id sets (the heterogeneous-batch shape), and
+#: the shared terms ("spark", "join" ×2, "data" ×3, "table" ×2)
+#: exercise the cross-query block-decode cache.
 _BATCH_SPECS = [
     ("q0_and", ["spark", "join"], False, None),
     ("q1_or", ["spark", "join"], True, None),
     ("q2_lang", ["data", "table"], False, "en"),
     ("q3_stop", ["the", "data"], False, None),
+    ("q4_lang_de", ["data", "table"], False, "de"),
 ]
 
 
