@@ -200,9 +200,10 @@ def timed_build(cpus: int) -> tuple[float, dict]:
     return elapsed, manifest
 
 
-def query_p50(cpus: int, index_cpus: int = HIGH_CPUS) -> tuple[float, float]:
+def query_p50(cpus: int, index_cpus: int = HIGH_CPUS) -> tuple[float, float, int]:
     """(per-query p50 of the sequential path, total sec of the SAME
-    50-query set through ONE bm25_topk_batch call).  Same session +
+    50-query set through ONE bm25_topk_batch call, number of queries
+    in the set).  Same session +
     index for both, so the pair isolates the batching gain: N job
     round-trips + N scans vs one union-term scan and one kernel pass
     with cross-query block-decode sharing (query/batch.py).  Batch is

@@ -74,11 +74,17 @@ def _zsav_case_bytes(data: bytes, pos: int, en: str) -> bytes:
             en + "qqii", data[off:off + 24]
         )
         off += 24
+        if unc_len < 0 or unc_len > 0x10000000:  # 256 MiB/block sanity cap
+            raise SavError("zsav: implausible uncompressed block size")
         try:
-            chunk = zlib.decompress(data[cmp_ofs:cmp_ofs + cmp_len])
+            # cap output at unc_len+1 so a crafted block claiming a huge
+            # expansion cannot allocate unbounded memory before the size
+            # check (decompression-bomb guard on untrusted input)
+            d = zlib.decompressobj()
+            chunk = d.decompress(data[cmp_ofs:cmp_ofs + cmp_len], unc_len + 1)
         except zlib.error as e:
             raise SavError(f"zsav: bad ZLIB block: {e}") from None
-        if len(chunk) != unc_len:
+        if len(chunk) != unc_len or d.unconsumed_tail:
             raise SavError("zsav: block decompressed to unexpected size")
         out += chunk
     return bytes(out)

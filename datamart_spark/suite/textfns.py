@@ -680,8 +680,8 @@ def cc_two_phase(edges, max_rounds: int = 30):
     shape as propagation — and each round's canonical edge set is
     localCheckpointed (plan-growth control).  Fixpoint = the canonical
     (larger→smaller) edge set is a star forest pointing at component
-    minima, detected by an unchanged (count, sum-src, sum-dst) probe —
-    1 row per round to the driver.
+    minima, detected by an unchanged (count, sum-src, sum-dst,
+    sum-xxhash64(src,dst)) probe — 1 row per round to the driver.
 
     ``edges``: DataFrame (src, dst), any orientation, self-loops
     ignored.  Returns (labels DataFrame (doc_id, cluster), rounds)."""
@@ -741,10 +741,20 @@ def cc_two_phase(edges, max_rounds: int = 30):
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # (count, sum-u, sum-v) alone is lossy — {(3,1),(4,2)} and
+        # {(4,1),(3,2)} collide — so the probe also sums a per-edge
+        # xxhash64(u, v): two distinct edge sets agreeing on all four
+        # aggregates would need a 64-bit sum collision, which removes
+        # the early-termination-on-collision failure mode in practice.
+        # The hash sum runs in decimal(38,0) — int64 would overflow
+        # under ANSI after ~2 large hashes.
         probe = canon.agg(
-            F.count(F.lit(1)), F.sum("u"), F.sum("v")
+            F.count(F.lit(1)),
+            F.sum("u"),
+            F.sum("v"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
         ).collect()[0]
-        probe = (probe[0], probe[1], probe[2])
+        probe = (probe[0], probe[1], probe[2], probe[3])
         if probe == prev_probe:
             break
         prev_probe = probe

@@ -117,3 +117,33 @@ def test_two_phase_raises_on_round_cap(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(ValueError, match="did not converge"):
         cc_two_phase(df, max_rounds=2)
+
+
+def test_dispatcher_ring_diameter_beyond_star_cap(spark, monkeypatch):
+    """VERDICT r5 #6: the suite's own graph is near-clique, so the
+    fallback had never been exercised at default settings on a graph
+    whose diameter exceeds even cc_two_phase's propagation-equivalent
+    cap.  A 500-node ring (diameter 250 >> 30) must (a) actually take
+    the star fallback — asserted by instrumenting the dispatcher's
+    call, not inferred — and (b) agree with the union-find oracle
+    node-for-node at DEFAULT fast_rounds."""
+    import datamart_spark.suite.textfns as tf
+
+    n = 500
+    edges = [(i, (i + 1) % n) for i in range(n)]  # ring
+    want = _union_find(0, edges)
+
+    calls = {}
+    real = tf.cc_two_phase
+
+    def spy(e, max_rounds=30):
+        calls["hit"] = True
+        return real(e, max_rounds)
+
+    monkeypatch.setattr(tf, "cc_two_phase", spy)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["doc_id"]: r["cluster"]
+           for r in tf.connected_components(df).collect()}
+    assert calls.get("hit"), "diameter-250 ring must trip the fallback"
+    assert got == want
+    assert set(got.values()) == {0} and len(got) == n
