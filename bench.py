@@ -93,6 +93,30 @@ HEADLINE = [
 # the build survives a scale step, not just the bench size)
 ROBUST_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_ROBUST_DOCS", "500000"))
 
+# Last-known-good steady-state envelope: full-discipline measurements
+# of THIS code on an unloaded host (update when the engine materially
+# changes).  The r5 official run exposed the blind spot of the
+# convergence rule above: a UNIFORMLY loaded host converges onto a
+# uniformly degraded plateau — spreads < 15%, efficiency 0.668 — while
+# same-code clean runs read 0.897/0.967, and the run even contradicted
+# itself internally (peak probe 3.5k docs/s vs robustness 8.5k in the
+# same session).  Variance detection cannot catch a level shift; an
+# absolute anchor can.  A level slower than ENVELOPE_FACTOR x its
+# envelope is therefore re-run (bounded); if it never recovers, the
+# scaling block carries host_degraded=true so the record is explicit
+# about being weather-limited rather than silently failing the bar.
+ENVELOPE = {
+    "t_low_sec": float(os.environ.get("SPARK_GRAFT_ENV_T_LOW", "118")),
+    "t_high_sec": float(os.environ.get("SPARK_GRAFT_ENV_T_HIGH", "31")),
+    "robust_docs_per_sec": float(
+        os.environ.get("SPARK_GRAFT_ENV_ROBUST_DPS", "10200")
+    ),
+}
+ENVELOPE_FACTOR = float(os.environ.get("SPARK_GRAFT_ENV_FACTOR", "1.5"))
+# the envelope describes the OFFICIAL sizes; a smoke run at other
+# sizes must not compare against it (nor flag host_degraded off it)
+ENVELOPE_APPLIES = (N_DOCS == 200_000 and ROBUST_DOCS == 500_000)
+
 
 def _session(cpus: int, name: str):
     from datamart_spark.session import get_spark
@@ -162,8 +186,8 @@ def robustness_build(n_docs: int = ROBUST_DOCS,
         "build_sec": round(elapsed, 3),
         "build_sec_all": [round(t, 1) for t in times],
         "docs_per_sec": round(n_docs / elapsed, 1),
-        "total_postings": sum(v["postings"] for v in m["shards"].values()),
-        "total_blocks": sum(v["blocks"] for v in m["shards"].values()),
+        "total_postings": m["lineage"]["total_postings"],
+        "total_blocks": m["lineage"]["total_blocks"],
         "n_shards": m["n_shards"],
     }
 
@@ -200,10 +224,12 @@ def timed_build(cpus: int) -> tuple[float, dict]:
     return elapsed, manifest
 
 
-def query_p50(cpus: int, index_cpus: int = HIGH_CPUS) -> tuple[float, float, int]:
+def query_p50(cpus: int, index_cpus: int = HIGH_CPUS,
+              index_root: str | None = None) -> tuple[float, float, int]:
     """(per-query p50 of the sequential path, total sec of the SAME
     50-query set through ONE bm25_topk_batch call, number of queries
-    in the set).  Same session +
+    in the set), against the index at ``index_root`` (default: the
+    scaling pair's high-level index).  Same session +
     index for both, so the pair isolates the batching gain: N job
     round-trips + N scans vs one union-term scan and one kernel pass
     with cross-query block-decode sharing (query/batch.py).  Batch is
@@ -309,6 +335,18 @@ long-lived cluster).  Levels alternate low,high,high,low; min of
 **Scaling efficiency = (T{lo}/T{hi}) / ({hi}/{lo}) =
 {s['efficiency']:.3f}** (target >= 0.8)
 
+Absolute anchor (r5 lesson: a uniformly loaded host converges onto a
+uniformly slow plateau that spread checks cannot see): each level is
+cross-checked against the pinned last-known-good envelope
+t_low={s['envelope']['t_low_sec']:.0f}s /
+t_high={s['envelope']['t_high_sec']:.0f}s /
+robustness {s['envelope']['robust_docs_per_sec']:.0f} docs/s
+(x{s['envelope_factor']} tolerance, re-run on breach), and the peak
+probe is cross-checked against the same-session robustness build.
+This run: envelope_reruns={s['envelope_reruns']},
+peak_vs_robust_contradiction={str(s['peak_vs_robust_contradiction']).lower()},
+**host_degraded={str(s['host_degraded']).lower()}**.
+
 Index stats: avgdl={ib['avgdl']:.1f}, shards={ib['n_shards']},
 postings={ib['total_postings']}, blocks={ib['total_blocks']}.
 
@@ -325,6 +363,14 @@ Batched: the same {nq} queries through ONE `bm25_topk_batch` call =
 {result['bm25_p50_sec'] * nq / result['bm25_batch50_sec']:.1f}x the
 sequential sweep) — one union-term scan + one kernel pass, posting
 blocks decoded once per shard across all queries (query/batch.py).
+
+At the robustness scale ({result['batch_robust']['n_docs']} docs):
+sequential p50 {result['batch_robust']['sequential_p50_sec']:.3f} s/query
+vs batch {result['batch_robust']['batch_total_sec']:.2f} s total
+({result['batch_robust']['ms_per_query']:.0f} ms/query,
+{result['batch_robust']['speedup_vs_sequential']:.1f}x) — the batch
+amortization GROWS with corpus size because each avoided per-query job
+would re-pay a bigger scan.
 
 ## Robustness ({result['robustness']['n_docs']} docs, min of {len(result['robustness']['build_sec_all'])} fresh-session builds @ local[{PEAK_CPUS}])
 
@@ -407,17 +453,54 @@ def main() -> None:
             run_level(cpus)
             reruns += 1
 
+    # absolute anchor (VERDICT r5 #1): the convergence rule above only
+    # detects VARIANCE; a uniformly loaded host converges onto a
+    # uniformly slow plateau.  Re-run any level whose best time is
+    # still ENVELOPE_FACTOR x slower than the last-known-good
+    # steady-state for identical code, bounded; flag if it never
+    # recovers.
+    envelope_reruns = 0
+    host_degraded = False
+    if ENVELOPE_APPLIES:
+        for cpus, ts, key in ((LOW_CPUS, t_lows, "t_low_sec"),
+                              (HIGH_CPUS, t_highs, "t_high_sec")):
+            while (min(ts) > ENVELOPE_FACTOR * ENVELOPE[key]
+                   and envelope_reruns < 2 * MAX_EXTRA_PAIRS):
+                run_level(cpus)
+                envelope_reruns += 1
+        host_degraded = (
+            min(t_lows) > ENVELOPE_FACTOR * ENVELOPE["t_low_sec"]
+            or min(t_highs) > ENVELOPE_FACTOR * ENVELOPE["t_high_sec"]
+        )
+
     t_low, t_high = min(t_lows), min(t_highs)
     # peak single-node throughput (informational): the largest level the
     # box can run at all (local[16] ⇒ ~32 runnable threads)
     t_peak, _ = timed_build(PEAK_CPUS)
     p50, batch50, n_queries = query_p50(P50_CPUS)
     robust = robustness_build()
+    # internal-consistency cross-check: peak (200k @ local[16]) and
+    # robustness (500k @ local[16]) measure the same code path at the
+    # same parallelism in the same session — r5's official run had
+    # them disagreeing 2.4x, the smoking gun for a degraded window.
+    # Re-measure the slower one once; a persistent contradiction also
+    # flags the record.
+    contradiction = False
+    if ENVELOPE_APPLIES:
+        contradiction = (N_DOCS / t_peak) < robust["docs_per_sec"] / 1.5
+        if contradiction:
+            t_peak = min(t_peak, timed_build(PEAK_CPUS)[0])
+            contradiction = (N_DOCS / t_peak) < robust["docs_per_sec"] / 1.5
+            host_degraded = host_degraded or contradiction
+        if robust["docs_per_sec"] < \
+                ENVELOPE["robust_docs_per_sec"] / ENVELOPE_FACTOR:
+            host_degraded = True
+    batch_robust = query_p50(P50_CPUS, index_root=f"{WORK_DIR}_robust")
     queries = run_headline(SF_DIR)
 
     eff = (t_low / t_high) / (HIGH_CPUS / LOW_CPUS)
-    total_postings = sum(v["postings"] for v in manifest["shards"].values())
-    total_blocks = sum(v["blocks"] for v in manifest["shards"].values())
+    total_postings = manifest["lineage"]["total_postings"]
+    total_blocks = manifest["lineage"]["total_blocks"]
     result = {
         "metric": "index_build_and_query_suite",
         "value": round(time.time() - t_total0, 3),
@@ -446,11 +529,30 @@ def main() -> None:
             "peak_cpus": PEAK_CPUS,
             "docs_per_sec_peak": round(N_DOCS / t_peak, 1),
             "efficiency": round(eff, 3),
+            # absolute-anchor audit trail (VERDICT r5 #1)
+            "envelope": ENVELOPE,
+            "envelope_factor": ENVELOPE_FACTOR,
+            "envelope_applies": ENVELOPE_APPLIES,
+            "envelope_reruns": envelope_reruns,
+            "peak_vs_robust_contradiction": contradiction,
+            "host_degraded": host_degraded,
         },
         "bm25_p50_sec": round(p50, 4),
         "bm25_batch50_sec": round(batch50, 4),
         "bm25_query_set_n": n_queries,
         "robustness": robust,
+        # the batch engine at the robustness scale (VERDICT r5 #4):
+        # same 50-query set, sequential p50 vs one batch call, against
+        # the 500k index the robustness build just produced
+        "batch_robust": {
+            "n_docs": ROBUST_DOCS,
+            "sequential_p50_sec": round(batch_robust[0], 4),
+            "batch_total_sec": round(batch_robust[1], 4),
+            "ms_per_query": round(batch_robust[1] / batch_robust[2] * 1000, 1),
+            "speedup_vs_sequential": round(
+                batch_robust[0] * batch_robust[2] / batch_robust[1], 1
+            ),
+        },
     }
     write_baseline_md(result)
     print(json.dumps(result))

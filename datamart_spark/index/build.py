@@ -47,11 +47,16 @@ O(shards touched).
 
 All tables are hash-free doc-range partitioned by ``shard`` (the
 Iceberg partition-spec analog): resume, corpus growth, and per-dataset
-delete are all per-shard-partition rewrites with per-shard lineage in
-the snapshot manifest.
+delete are all per-shard-partition rewrites.  Per-shard lineage is a
+parquet TABLE (derived distributed from the postings block summaries);
+the snapshot manifest carries only its O(1) summary — count + totals +
+a content checksum binding the manifest to the table bytes.
 
-At 100 TB: the only driver-side values are N, avgdl and per-shard
-lineage counts — O(#shards).  Nothing collects posting or token data.
+At 100 TB: the only driver-side values are N, avgdl and the O(1)
+lineage summary.  The RESUME planner alone materializes shard ids on
+the driver (the todo-set diff — O(#shards) ints, which it needs to
+plan regardless); builds and queries never do.  Nothing collects
+posting or token data.
 """
 
 from __future__ import annotations
@@ -521,14 +526,12 @@ def _build_index_impl(
     # whose partition directory is gone (crash between table write and
     # snapshot commit cannot cause this, but operator error can) is
     # rebuilt rather than trusted (ADVICE: validate table state on resume)
-    done = catalog.committed_shards() if resume else set()
-    if done:
-        lineage = snap.get("shards", {})
+    done = set()
+    if resume and snap is not None:
         done = {
             s
-            for s in done
-            if lineage.get(str(s), {}).get("blocks", 0) == 0
-            or catalog.partition_exists("postings", s)
+            for s, blocks, _p in catalog.lineage_rows(spark)
+            if blocks == 0 or catalog.partition_exists("postings", s)
         }
     todo = set(range(n_shards)) - done
     fresh = not resume or snap is None
@@ -699,17 +702,27 @@ def _build_index_impl(
         # committed snapshot's term_stats if this build crashed mid-write
         catalog.rewrite_table(ts_df, "term_stats")
     mark("term_stats")
-    per_shard = {
-        str(r["shard"]): {"blocks": r["blocks"], "postings": r["postings"]}
-        for r in pst.groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings"))
-        .collect()
-    }
-    for s in todo:  # empty shards still get lineage (else re-built forever)
-        per_shard.setdefault(str(s), {"blocks": 0, "postings": 0})
-    if snap:
-        for s, m in snap.get("shards", {}).items():
-            per_shard.setdefault(s, m)
+    # per-shard lineage: a parquet TABLE derived entirely distributed —
+    # membership = (this run's todo) ∪ (previously committed shards),
+    # stats left-joined from the postings block summaries, zeros for
+    # empty shards (else re-built forever).  Nothing shard-sized is
+    # collected; the manifest gets only the O(1) summary block.
+    shard_stats = pst.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings")
+    )
+    if len(todo) == n_shards:
+        todo_df = spark.range(n_shards).select(
+            F.col("id").cast("int").alias("shard")
+        )
+    else:
+        todo_df = spark.createDataFrame(
+            [(int(s),) for s in sorted(todo)], "shard int"
+        )
+    members = todo_df
+    if snap is not None:
+        prior = catalog.lineage_shard_df(spark)
+        if prior is not None:
+            members = members.union(prior).distinct()
     if grown and only_shards is not None:
         # a bounded grown run that excluded delta shards must NOT claim
         # them: their on-disk postings (the boundary shard's OLD
@@ -717,8 +730,18 @@ def _build_index_impl(
         # later resume sees n_docs unchanged + partition_exists and would
         # trust them forever (ADVICE r2).  Dropping their lineage makes
         # the next resume rebuild exactly those shards.
-        for s in set(range(delta_start // width, n_shards)) - set(todo):
-            per_shard.pop(str(s), None)
+        excluded = sorted(set(range(delta_start // width, n_shards)) - set(todo))
+        if excluded:
+            members = members.join(
+                spark.createDataFrame([(int(s),) for s in excluded],
+                                      "shard int"),
+                "shard", "left_anti",
+            )
+    lineage_df = (
+        members.join(shard_stats, "shard", "left")
+        .fillna(0, subset=["blocks", "postings"])
+    )
+    lineage_summary = catalog.write_lineage(spark, lineage_df, fresh=fresh)
     mark("metrics")
 
     elapsed = time.time() - t0
@@ -740,8 +763,13 @@ def _build_index_impl(
         "stemming": stemming,
         "title_boost": title_boost,
         "tokenizer": tokenizer,
-        "shards": per_shard,
-        "built_shards_this_run": todo,
+        "lineage": lineage_summary,
+        # observability metadata — capped so a full build over millions
+        # of shards cannot make the manifest O(#shards) again
+        "built_shards_this_run": (
+            todo if len(todo) <= 2_000
+            else {"n": len(todo), "first": todo[0], "last": todo[-1]}
+        ),
         "build_seconds": elapsed,
         "docs_per_sec": (n_docs / elapsed) if elapsed > 0 else None,
         "source": "documents",

@@ -171,22 +171,30 @@ def _delete_docs_impl(
     ).collect()[0]
     n_docs = agg["n"]
     avgdl = float(agg["s"] or 0) / n_docs if n_docs else 0.0
-    per_shard = {
-        str(r["shard"]): {"blocks": r["blocks"], "postings": r["postings"]}
-        for r in pst.groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings"))
-        .collect()
-    }
-    for s in snap.get("shards", {}):
-        per_shard.setdefault(s, {"blocks": 0, "postings": 0})
+    # per-shard lineage table: shard membership is unchanged by a
+    # delete, so members = the committed lineage's shards; stats are
+    # re-derived from the post-delete postings (zeros for emptied
+    # shards).  Distributed end-to-end — nothing shard-sized reaches
+    # the driver (VERDICT r5 #2).
+    shard_stats = pst.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("blocks"), F.sum("n").alias("postings")
+    )
+    members = catalog.lineage_shard_df(spark)
+    lineage_summary = catalog.write_lineage(
+        spark,
+        members.join(shard_stats, "shard", "left")
+        .fillna(0, subset=["blocks", "postings"]),
+        fresh=False,
+    )
 
     manifest = dict(snap)
+    manifest.pop("shards", None)  # legacy in-manifest lineage map
     manifest.update(
         {
             "n_docs": n_docs,
             "avgdl": avgdl,
             "tfn_ref_avgdl": TFN_REF_AVGDL,
-            "shards": per_shard,
+            "lineage": lineage_summary,
             "built_shards_this_run": shards,
             "deleted_doc_ids": len(ids),
             "build_seconds": time.time() - t0,

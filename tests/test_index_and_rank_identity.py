@@ -44,13 +44,14 @@ def _assert_rank_identical(got, want, qid, query):
         assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12), (qid, query, gd, gs, ws)
 
 
-def test_manifest_metrics(built):
-    _, _, manifest = built
+def test_manifest_metrics(built, spark):
+    catalog, _, manifest = built
     assert manifest["n_docs"] == N_DOCS
     assert manifest["avgdl"] > 0
-    assert len(manifest["shards"]) == 8
-    for s in manifest["shards"].values():
-        assert s["blocks"] >= 1 and s["postings"] >= 1
+    assert manifest["lineage"]["n_shards"] == 8
+    rows = catalog.lineage_rows(spark)
+    assert len(rows) == 8
+    assert all(b >= 1 and p >= 1 for _sh, b, p in rows)
     assert manifest["docs_per_sec"] > 0
 
 
@@ -150,5 +151,5 @@ def test_resume_skips_committed_shards(built, spark, tmp_path):
     docs = generate_documents(spark, N_DOCS)
     m2 = build_index(docs, catalog, n_shards=8, resume=True)
     assert m2["built_shards_this_run"] == []
-    assert m2["shards"] == m1["shards"]
+    assert m2["lineage"] == m1["lineage"]  # content checksum binds equality
     assert m2["sequence"] > m1["sequence"]

@@ -22,11 +22,11 @@ def test_partial_build_then_resume_equals_full(spark, tmp_path):
     inc_cat = IndexCatalog(str(tmp_path / "inc"))
     m1 = build_index(docs, inc_cat, n_shards=6, only_shards=[0, 1, 2])
     assert m1["built_shards_this_run"] == [0, 1, 2]
-    assert set(m1["shards"]) == {"0", "1", "2"}  # lineage shows partial state
+    assert {sh for sh, _b, _p in inc_cat.lineage_rows(spark)} == {0, 1, 2}
 
     m2 = build_index(docs, inc_cat)  # resume fills 3..5, reuses tokens checkpoint
     assert m2["built_shards_this_run"] == [3, 4, 5]
-    assert set(m2["shards"]) == {str(i) for i in range(6)}
+    assert {sh for sh, _b, _p in inc_cat.lineage_rows(spark)} == set(range(6))
     assert "analyze_tokens" not in m2["phase_seconds"]  # checkpoint reused
 
     # same index contents: every query term set agrees with the full build
@@ -38,7 +38,9 @@ def test_partial_build_then_resume_equals_full(spark, tmp_path):
     assert a == b and len(a) > 0
 
     # per-shard lineage metrics match the full build's
-    assert m2["shards"] == build_index(docs, full_cat)["shards"]
+    build_index(docs, full_cat)
+    assert sorted(inc_cat.lineage_rows(spark)) == \
+        sorted(full_cat.lineage_rows(spark))
 
 
 def test_search_facade(spark, tmp_path):
@@ -158,7 +160,7 @@ def test_grown_only_shards_drops_stranded_lineage(spark, tmp_path):
     assert m["built_shards_this_run"] == [4, 5]
     # stranded delta shards 3 (boundary, stale postings on disk), 6, 7
     # must be absent from lineage so the next resume rebuilds them
-    assert set(m["shards"]) == {"0", "1", "2", "4", "5"}
+    assert {sh for sh, _b, _p in cat.lineage_rows(spark)} == {0, 1, 2, 4, 5}
 
     m2 = build_index(generate_documents(spark, 800), cat)  # plain resume
     assert m2["built_shards_this_run"] == [3, 6, 7]
