@@ -242,7 +242,7 @@ def query_p50(cpus: int, index_cpus: int = HIGH_CPUS,
     from datamart_spark.query import bm25_topk_batch, bm25_topk_blockmax
 
     spark = _session(cpus, "bench_query")
-    catalog = IndexCatalog(f"{WORK_DIR}_{index_cpus}")
+    catalog = IndexCatalog(index_root or f"{WORK_DIR}_{index_cpus}")
     queries = generate_queries()
     lat = []
     specs = []

@@ -237,3 +237,57 @@ def generate_queries(n_docs_hint: int = 10_000) -> pd.DataFrame:
             {"query_id": qid, "query": q, "lang_filter": lang, "ts_lo": ts_lo, "ts_hi": ts_hi}
         )
     return pd.DataFrame(out)
+
+
+def generate_query_set(n: int) -> pd.DataFrame:
+    """Deterministic ``n``-query workload with the reference set's mix
+    (per 10 queries: 4 single-term, 3 two-term, 2 three-term of which
+    1 carries a stopword-tier term, 1 with an absent term; 30% get a
+    lang filter, 20% a warc_ts sub-range) — the bulk-labeling shape
+    for ``query.batch.bm25_topk_batch`` at arbitrary batch size.
+
+    Same columns as ``generate_queries`` (which stays byte-stable as
+    the 50-query reference set); each row is a pure function of
+    ``(n, query_id)`` so any slice regenerates identically on any
+    worker.  Terms draw from the same Zipf-band (ranks 30..2000) as
+    the reference set, so large batches overlap heavily in terms —
+    the cross-query decode-cache regime the batch kernel is built for."""
+    epoch = pd.Timestamp(EPOCH_ISO)
+    out = []
+    for qid in range(n):
+        rng = np.random.Generator(
+            np.random.PCG64(SEED * 13_000_017 + 104_729 * (n + 1) + qid)
+        )
+
+        def pick(k: int, force_stop: bool = False) -> list[str]:
+            idx = rng.choice(np.arange(30, 2000), size=k, replace=False)
+            terms = [_VOCAB[int(j)] for j in idx]
+            if force_stop:
+                terms[0] = _VOCAB[int(rng.integers(0, N_STOPWORD_TIER))]
+            return terms
+
+        r = qid % 10
+        if r < 4:
+            q = " ".join(pick(1))
+        elif r < 7:
+            q = " ".join(pick(2))
+        elif r < 8:
+            q = " ".join(pick(3))
+        elif r < 9:
+            q = " ".join(pick(3, force_stop=True))
+        else:
+            q = f"{pick(1)[0]} zzzunseen{qid}"
+        lang = None
+        ts_lo = ts_hi = None
+        if qid % 10 in (1, 4, 7):  # 30% lang-filtered
+            lang = LANGS[qid % len(LANGS)]
+        if qid % 10 in (2, 5):  # 20% ts-ranged
+            lo = int(rng.integers(0, YEAR_SECONDS // 2))
+            hi = lo + int(rng.integers(YEAR_SECONDS // 8, YEAR_SECONDS // 2))
+            ts_lo = epoch + pd.Timedelta(seconds=lo)
+            ts_hi = epoch + pd.Timedelta(seconds=min(hi, YEAR_SECONDS))
+        out.append(
+            {"query_id": qid, "query": q, "lang_filter": lang,
+             "ts_lo": ts_lo, "ts_hi": ts_hi}
+        )
+    return pd.DataFrame(out)

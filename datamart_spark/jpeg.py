@@ -12,9 +12,14 @@ progressive (SOF2, full annex G: spectral selection + successive
 approximation, DC/AC first and refinement scans, EOB runs), 8-bit;
 1 component → grayscale, 3 components → YCbCr→RGB with any integer
 sampling (4:4:4 / 4:2:2 / 4:2:0); restart intervals in both
-processes.  Everything else — arithmetic coding, hierarchical,
-lossless, CMYK — raises ``JpegError`` with the exact reason: the
-codec boundary stays explicit, it just moved (again).
+processes.  Adobe APP14 color models (the most common remaining
+real-web variant): 4-component CMYK (transform 0) and YCCK
+(transform 2) decode to RGB via the inverted-ink composite, and
+3-component transform 0 is RGB stored directly.  Everything else —
+arithmetic coding, hierarchical, lossless, 4 components without an
+APP14 marker (ink polarity unknowable) — raises ``JpegError`` with
+the exact reason: the codec boundary stays explicit, it just moved
+(again).
 
 Encoders (`encode_jpeg_gray`, `encode_jpeg_color`,
 `encode_jpeg_progressive`): same subset, standard Annex K quantization
@@ -381,12 +386,21 @@ def _decode_prog_scan(br, scan, coefs, htables, restart_interval):
                 eobrun = _ac_refine_block(br, ac_t, co, ss, se, al, eobrun)
 
 
-def _finish_planes(planes, comps, h, w, hmax, vmax):
-    """Crop/upsample decoded component planes and color-convert."""
+def _finish_planes(planes, comps, h, w, hmax, vmax, adobe_transform=None):
+    """Crop/upsample decoded component planes and color-convert.
+
+    ``adobe_transform`` is the APP14 transform byte (None when the
+    marker is absent): 3 components decode as JFIF YCbCr unless
+    transform 0 says RGB-stored-directly; 4 components REQUIRE the
+    marker (Adobe Postscript tech note 5116 — the only in-the-wild
+    CMYK convention) and decode transform 0 (CMYK) or 2 (YCCK) to RGB
+    via the inverted-ink composite rgb = stored_cmy * stored_k / 255
+    (Adobe stores ink inverted: 0 = full coverage — the same composite
+    libjpeg-based viewers apply)."""
     if len(comps) == 1:
         out = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
         return out[:, :, None]
-    # upsample chroma by replication, then JFIF YCbCr -> RGB
+    # upsample chroma by replication
     full = []
     for ci, c in enumerate(comps):
         p = np.repeat(
@@ -394,6 +408,30 @@ def _finish_planes(planes, comps, h, w, hmax, vmax):
             hmax // c["hs"], axis=1,
         )
         full.append(p[:h, :w])
+    if len(comps) == 4:
+        if adobe_transform is None:
+            raise JpegError(
+                "4-component JPEG without an Adobe APP14 marker "
+                "(CMYK ink polarity unknowable)"
+            )
+        if adobe_transform == 2:  # YCCK: YCbCr transform of inverted CMY
+            y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+            sc = y + 1.402 * cr
+            sm = y - 0.344136 * cb - 0.714136 * cr
+            sy = y + 1.772 * cb
+        elif adobe_transform == 0:  # CMYK stored directly (inverted)
+            sc, sm, sy = full[0], full[1], full[2]
+        else:
+            raise JpegError(
+                f"Adobe APP14 transform {adobe_transform} invalid for "
+                "4 components (0 = CMYK, 2 = YCCK)"
+            )
+        cmy = np.clip(np.stack([sc, sm, sy], axis=2), 0.0, 255.0)
+        k = np.clip(full[3], 0.0, 255.0)[:, :, None]
+        return np.clip(np.round(cmy * k / 255.0), 0, 255).astype(np.uint8)
+    if adobe_transform == 0:  # Adobe RGB: no color transform
+        rgb = np.stack(full, axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     rgb = np.stack(
         [
@@ -416,8 +454,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     any integer sampling ratio (4:4:4, 4:2:2, 4:2:0, ...).  Chroma is
     upsampled by sample replication (the JFIF baseline); restart
     intervals (DRI + RSTn resync, T.81 E.2.4) are honored in both
-    processes.  Arithmetic coding, 12-bit and 4-component CMYK still
-    raise ``JpegError`` with the exact reason."""
+    processes.  Adobe APP14 variants: 4 components decode as CMYK
+    (transform 0) or YCCK (transform 2) to RGB channels=3, and
+    3-component transform 0 as stored RGB.  Arithmetic coding, 12-bit
+    and 4 components WITHOUT an APP14 marker still raise ``JpegError``
+    with the exact reason."""
     if not payload or payload[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG")
     pos = 2
@@ -428,6 +469,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     progressive = False
     coefs = None  # progressive: per-comp (by, bx, 64) zigzag coef grids
     hmax = vmax = 1
+    adobe_transform = None  # APP14 transform byte (None = marker absent)
     comps: list[dict] = []  # SOF order: {id, hs, vs, tq, dc, ac}
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -459,10 +501,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             h = struct.unpack(">H", data[1:3])[0]
             w = struct.unpack(">H", data[3:5])[0]
             n_comp = data[5]
-            if n_comp not in (1, 3):
+            if n_comp not in (1, 3, 4):
                 raise JpegError(
-                    f"{n_comp}-component images unsupported (grayscale or "
-                    "YCbCr only; CMYK needs an Adobe transform)"
+                    f"{n_comp}-component images unsupported (grayscale, "
+                    "YCbCr/RGB or Adobe CMYK/YCCK only)"
                 )
             for i in range(n_comp):
                 o = 6 + 3 * i
@@ -480,6 +522,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", data[:2])[0]
+        elif marker == 0xEE and data[:5] == b"Adobe" and len(data) >= 12:
+            # APP14 (Adobe tech note 5116): "Adobe" + version(2) +
+            # flags0(2) + flags1(2) + color-transform byte
+            adobe_transform = data[11]
         elif marker == 0xDA:  # SOS
             if not comps:
                 raise JpegError("SOS before SOF")
@@ -568,7 +614,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 .transpose(0, 2, 1, 3)
                 .reshape(by * 8, bx * 8)
             )
-        return _finish_planes(planes, comps, h, w, hmax, vmax)
+        return _finish_planes(planes, comps, h, w, hmax, vmax,
+                              adobe_transform)
 
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
@@ -607,7 +654,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         x0 = (mx * c["hs"] + bxi) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
 
-    return _finish_planes(planes, comps, h, w, hmax, vmax)
+    return _finish_planes(planes, comps, h, w, hmax, vmax, adobe_transform)
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     """Baseline grayscale JPEG bytes → (height, width, 1) uint8.
@@ -882,6 +929,109 @@ def encode_jpeg_color(
     seg(0xC4, bytes([0x01]) + bytes(DC_C_BITS) + bytes(DC_C_VALS))
     seg(0xC4, bytes([0x11]) + bytes(AC_C_BITS) + bytes(AC_C_VALS))
     seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out.extend(bw.buf)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def encode_jpeg_adobe(
+    img: np.ndarray,
+    transform: int | None = None,
+    luma_q: np.ndarray | None = None,
+    chroma_q: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3|4) uint8 → baseline 4:4:4 JPEG with an Adobe APP14
+    marker — the fixture encoder for the Adobe color-model variants.
+
+    3 channels + transform 0: RGB stored directly (no color
+    transform).  4 channels + transform 0: CMYK stored directly;
+    transform 2: YCCK (the RGB→YCbCr forward transform applied to
+    channels 0-2, K untouched).  4-channel inputs are in Adobe's
+    STORED (inverted) convention — 0 = full ink — which is exactly
+    what ``decode_jpeg`` composites back to RGB."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise JpegError("encode_jpeg_adobe needs (h, w, 3) or (h, w, 4)")
+    nc = img.shape[2]
+    if transform is None:
+        transform = 0 if nc == 3 else 2
+    if nc == 3 and transform != 0:
+        raise JpegError(
+            "3-channel Adobe fixture supports transform 0 (RGB) only — "
+            "use encode_jpeg_color for YCbCr"
+        )
+    if nc == 4 and transform not in (0, 2):
+        raise JpegError("4-channel Adobe transform must be 0 (CMYK) or 2 (YCCK)")
+    h, w = img.shape[:2]
+    ql = STD_LUMA_Q if luma_q is None else np.asarray(luma_q, dtype=np.int32)
+    qc = STD_CHROMA_Q if chroma_q is None else np.asarray(chroma_q, dtype=np.int32)
+
+    planes = [img[:, :, i].astype(np.float64) for i in range(nc)]
+    use_chroma = [False] * nc
+    if nc == 4 and transform == 2:
+        c0, c1, c2 = planes[0], planes[1], planes[2]
+        planes = [
+            0.299 * c0 + 0.587 * c1 + 0.114 * c2,
+            -0.168736 * c0 - 0.331264 * c1 + 0.5 * c2 + 128.0,
+            0.5 * c0 - 0.418688 * c1 - 0.081312 * c2 + 128.0,
+            planes[3],
+        ]
+        use_chroma = [False, True, True, False]
+
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    pad = [
+        np.pad(p, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge")
+        for p in planes
+    ]
+
+    dc_l, ac_l = _inv_huff(DC_BITS, DC_VALS), _inv_huff(AC_BITS, AC_VALS)
+    dc_c, ac_c = _inv_huff(DC_C_BITS, DC_C_VALS), _inv_huff(AC_C_BITS, AC_C_VALS)
+    spec = [
+        (pad[i], qc if use_chroma[i] else ql,
+         dc_c if use_chroma[i] else dc_l, ac_c if use_chroma[i] else ac_l)
+        for i in range(nc)
+    ]
+    bw = _BitWriter()
+    preds = [0] * nc
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                _emit_restart(bw, mcu_i // restart_interval - 1)
+                preds = [0] * nc
+            mcu_i += 1
+            for ci, (plane, q, de, ae) in enumerate(spec):
+                y0, x0 = my * 8, mx * 8
+                preds[ci] = _encode_block(
+                    bw, plane[y0:y0 + 8, x0:x0 + 8] - 128.0, q, de, ae,
+                    preds[ci],
+                )
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    # APP14 "Adobe": version 100, flags 0/0, color-transform byte
+    seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform))
+    seg(0xDB, bytes([0x00]) + bytes(int(x) & 0xFF for x in ql.reshape(64)[_ZIGZAG]))
+    if any(use_chroma):
+        seg(0xDB, bytes([0x01]) + bytes(int(x) & 0xFF for x in qc.reshape(64)[_ZIGZAG]))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([nc]) + b"".join(
+        bytes([i + 1, 0x11, 1 if use_chroma[i] else 0]) for i in range(nc)
+    ))
+    seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    if any(use_chroma):
+        seg(0xC4, bytes([0x01]) + bytes(DC_C_BITS) + bytes(DC_C_VALS))
+        seg(0xC4, bytes([0x11]) + bytes(AC_C_BITS) + bytes(AC_C_VALS))
+    seg(0xDA, bytes([nc]) + b"".join(
+        bytes([i + 1, 0x11 if use_chroma[i] else 0x00]) for i in range(nc)
+    ) + bytes([0, 63, 0]))
     out.extend(bw.buf)
     out.extend(b"\xff\xd9")
     return bytes(out)

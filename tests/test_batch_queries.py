@@ -174,3 +174,69 @@ def test_batch_rejects_duplicate_query_ids(built, spark):
              {"query_id": "a", "query": "data"}],
             k=5,
         )
+
+
+def test_generated_query_set_deterministic_and_mixed():
+    """generate_query_set(n): the bulk-labeling workload generator —
+    deterministic, reference-set mix proportions at any n, and NOT a
+    repeat of the 50-query reference set."""
+    from datamart_spark.corpus import generate_query_set
+
+    a = generate_query_set(100)
+    b = generate_query_set(100)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 100
+    assert list(a.columns) == [
+        "query_id", "query", "lang_filter", "ts_lo", "ts_hi"
+    ]
+    assert int(a["lang_filter"].notna().sum()) == 30
+    assert int(a["ts_lo"].notna().sum()) == 20
+    assert sum(
+        q.split()[-1].startswith("zzzunseen") for q in a["query"]
+    ) == 10
+    # 40% single / 30% two-term / 20% three-term mix (absent-term rows
+    # are two tokens: real term + unseen sentinel)
+    n_terms = a["query"].str.split().str.len()
+    assert int((n_terms == 1).sum()) == 40
+    assert int((n_terms == 3).sum()) == 20
+    # independent draws, not the reference set re-sliced
+    assert set(a["query"]) != set(generate_queries()["query"])
+    # a different n gives a different (still deterministic) draw
+    assert list(generate_query_set(20)["query"]) != list(a["query"][:20])
+
+
+def test_generated_batch_rank_identity_sample(built, spark):
+    """A generated 100-query batch through ONE bm25_topk_batch call is
+    rank-identical to the single-query engine (spot-checked on every
+    8th query, covering all four shape slices + both filter kinds)."""
+    from datamart_spark.corpus import generate_query_set
+
+    catalog = built
+    specs = []
+    for _, q in generate_query_set(100).iterrows():
+        specs.append(
+            {
+                "query_id": f"g{int(q['query_id']):03d}",
+                "query": q["query"],
+                "lang": q["lang_filter"]
+                if isinstance(q["lang_filter"], str) else None,
+                "ts_lo": q["ts_lo"] if pd.notna(q["ts_lo"]) else None,
+                "ts_hi": q["ts_hi"] if pd.notna(q["ts_hi"]) else None,
+            }
+        )
+    batched = bm25_topk_batch(spark, catalog, specs, k=K).collect()
+    by_qid: dict[str, list] = {}
+    for r in batched:
+        by_qid.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for s in specs[::8]:
+        want = _rows(
+            bm25_topk_blockmax(
+                spark, catalog, s["query"], k=K, lang=s["lang"],
+                ts_lo=s["ts_lo"], ts_hi=s["ts_hi"],
+            )
+        )
+        got = by_qid.get(s["query_id"], [])
+        assert len(got) == len(want), (s, got, want)
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gd == wd, (s, got, want)
+            assert math.isclose(gs, ws, rel_tol=1e-9, abs_tol=1e-12)

@@ -65,10 +65,10 @@ def test_unsupported_variants_raise_cleanly():
     img = np.full((8, 8, 3), 40, dtype=np.uint8)
     with pytest.raises(JpegError, match="grayscale"):
         decode_jpeg_gray(encode_jpeg_color(img))
-    # 4-component (CMYK-style) SOF0
-    sof4 = bytes([8, 0, 16, 0, 16, 4]) + b"\x00" * 12
-    seg = b"\xff\xd8\xff\xc0" + (len(sof4) + 2).to_bytes(2, "big") + sof4
-    with pytest.raises(JpegError, match="4-component"):
+    # 2-component SOF0 (CMYK is now decoded — see test_jpeg_cmyk.py)
+    sof2 = bytes([8, 0, 16, 0, 16, 2]) + b"\x00" * 6
+    seg = b"\xff\xd8\xff\xc0" + (len(sof2) + 2).to_bytes(2, "big") + sof2
+    with pytest.raises(JpegError, match="2-component"):
         decode_jpeg(seg)
     # truncated: SOI only
     with pytest.raises(JpegError, match="missing"):
