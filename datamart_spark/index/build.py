@@ -118,6 +118,17 @@ POSTINGS_SCHEMA = T.StructType(
     ]
 )
 
+#: positional layout (build_index(..., positions=True)): one extra
+#: payload per block — the per-posting within-doc token positions,
+#: delta-encoded per posting (first absolute) and varbyte-packed in
+#: posting order; the decoder splits by the block's tfs.  Queries that
+#: don't need positions never select the column (parquet column
+#: pruning), so a positional index serves plain BM25 at zero extra
+#: scan cost — the Lucene analog is the .prx/.pos file next to .doc.
+POSTINGS_SCHEMA_POS = T.StructType(
+    POSTINGS_SCHEMA.fields + [T.StructField("pos_vb", T.BinaryType(), False)]
+)
+
 
 def extract_text(docs: DataFrame, html_col: str = "html", out_col: str = "text") -> DataFrame:
     """html(binary) → text via the vendored html_strip analog (Arrow batch)."""
@@ -128,7 +139,7 @@ def extract_text(docs: DataFrame, html_col: str = "html", out_col: str = "text")
     return docs.withColumn(out_col, _extract(F.col(html_col)))
 
 
-def _tokens_schema(meta_cols: list[str]) -> T.StructType:
+def _tokens_schema(meta_cols: list[str], positions: bool = False) -> T.StructType:
     return T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -136,6 +147,7 @@ def _tokens_schema(meta_cols: list[str]) -> T.StructType:
             T.StructField("tf", T.IntegerType(), False),
             T.StructField("doclen", T.IntegerType(), False),
         ]
+        + ([T.StructField("pos_vb", T.BinaryType(), True)] if positions else [])
         + [T.StructField(c, _META_TYPES[c], True) for c in meta_cols]
     )
 
@@ -154,6 +166,7 @@ def term_doc_tf(
     title_boost: int | None = None,
     meta_cols: list[str] | None = None,
     tokenizer: str = "simple",
+    positions: bool = False,
 ) -> DataFrame:
     """documents → token rows (doc_id, term, tf, doclen) + one sentinel
     row per doc (term NULL, doclen + metadata columns); tf aggregated
@@ -165,10 +178,21 @@ def term_doc_tf(
     title in the corpus layout) as a boosted field via weighted field
     concatenation: tf' = tf_body + boost·tf_title, doclen' likewise.
     Integer boost keeps tf varbyte-encodable; rank identity is defined
-    against the same formula in the oracle."""
+    against the same formula in the oracle.
+
+    ``positions``: carry each (doc, term)'s within-doc token positions
+    (0-based, post-analyzer order; a stem's positions are the union of
+    its surface forms') as a delta+varbyte payload — the phrase-query
+    layout.  The shuffle payload grows from distinct-terms-per-doc rows
+    to +O(total tokens) compressed bytes, which is why it is opt-in.
+    Incompatible with ``title_boost`` (weighted tf has no single token
+    stream to take positions over)."""
+    if positions and title_boost is not None:
+        raise ValueError("positions=True is incompatible with title_boost "
+                         "(weighted-field tf has no single position stream)")
     if meta_cols is None:
         meta_cols = [c for c in META_COLS if c in docs.columns]
-    schema = _tokens_schema(meta_cols)
+    schema = _tokens_schema(meta_cols, positions=positions)
 
     def analyze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..porter2 import stem
@@ -200,6 +224,7 @@ def term_doc_tf(
                 ]
             lens = toks.map(len).to_numpy(dtype=np.int64)
             doc_ids = b["doc_id"].to_numpy()
+            pos_bytes: list[bytes] = []
             if lens.sum() == 0:
                 out_doc_idx = np.zeros(0, dtype=np.int64)
                 stems = np.zeros(0, dtype=object)
@@ -229,7 +254,40 @@ def term_doc_tf(
                 doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
                 n_terms = len(stems)
                 pair_codes = doc_idx * n_terms + token_stem
-                if weights_per_doc is None:
+                if positions:
+                    # stable sort groups (doc, stem) pairs while keeping
+                    # token order — i.e. ascending within-doc positions —
+                    # inside each group; one whole-batch varbyte pass,
+                    # per-pair slices by byte offset (same pattern as the
+                    # posting-block encoder)
+                    order_tok = np.argsort(pair_codes, kind="stable")
+                    sc = pair_codes[order_tok]
+                    change = np.empty(sc.size, dtype=bool)
+                    change[0] = True
+                    change[1:] = sc[1:] != sc[:-1]
+                    gstarts = np.flatnonzero(change)
+                    gends = np.append(gstarts[1:], sc.size)
+                    pair_uniq = sc[gstarts]
+                    pair_counts = gends - gstarts
+                    doc_starts = np.concatenate(
+                        [np.zeros(1, np.int64), np.cumsum(lens)[:-1]]
+                    )
+                    pos_in_doc = (
+                        np.arange(sc.size, dtype=np.int64)
+                        - np.repeat(doc_starts, lens)
+                    )
+                    sp = pos_in_doc[order_tok]
+                    deltas = np.empty_like(sp)
+                    deltas[1:] = sp[1:] - sp[:-1]
+                    deltas[gstarts] = sp[gstarts]  # absolute at group start
+                    pbuf, psizes = vb_encode_with_sizes(deltas)
+                    poff = np.zeros(sp.size + 1, dtype=np.int64)
+                    np.cumsum(psizes, out=poff[1:])
+                    pos_bytes = [
+                        pbuf[poff[a]:poff[z]] for a, z in zip(gstarts, gends)
+                    ]
+                    doclens = lens
+                elif weights_per_doc is None:
                     pair_uniq, pair_counts = np.unique(pair_codes, return_counts=True)
                     doclens = lens
                 else:
@@ -262,6 +320,8 @@ def term_doc_tf(
                     ).astype(np.int32),
                 }
             )
+            if positions:
+                pdf["pos_vb"] = pos_bytes + [None] * len(b)
             for c in meta_cols:
                 pdf[c] = pd.concat(
                     [pd.Series([None] * n_tok, dtype=b[c].dtype), b[c]],
@@ -384,6 +444,7 @@ def build_index(
     only_shards: list[int] | None = None,
     title_boost: int | None = None,
     tokenizer: str | None = None,
+    positions: bool = False,
 ) -> dict:
     """Full or incremental build.  Returns the committed snapshot.
 
@@ -403,6 +464,7 @@ def build_index(
             docs, catalog, n_shards=n_shards, stemming=stemming,
             resume=resume, n_docs=n_docs, only_shards=only_shards,
             title_boost=title_boost, tokenizer=tokenizer,
+            positions=positions,
         )
     except BaseException:
         catalog.rollback_own()
@@ -419,6 +481,7 @@ def _build_index_impl(
     only_shards: list[int] | None = None,
     title_boost: int | None = None,
     tokenizer: str | None = None,
+    positions: bool = False,
 ) -> dict:
     """Build body — call through ``build_index`` (the rollback wrapper).
 
@@ -483,11 +546,13 @@ def _build_index_impl(
             bool(snap.get("stemming", True)) != bool(stemming)
             or snap.get("title_boost") != title_boost
             or snap.get("tokenizer", "simple") != tokenizer
+            or bool(snap.get("positions", False)) != bool(positions)
         ):
             raise ValueError(
-                "resume with different analyzer settings (stemming/title_boost) "
-                "would mix incompatible postings; drop() the catalog or match "
-                f"the snapshot ({snap.get('stemming')}, {snap.get('title_boost')})"
+                "resume with different analyzer settings (stemming/title_boost/"
+                "positions) would mix incompatible postings; drop() the catalog "
+                f"or match the snapshot ({snap.get('stemming')}, "
+                f"{snap.get('title_boost')}, {snap.get('positions', False)})"
             )
         if snap.get("postings_format", 1) < POSTINGS_FORMAT:
             raise ValueError(
@@ -558,7 +623,8 @@ def _build_index_impl(
         # narrow map job: analyze + write the tokenized table (no shuffle)
         catalog.write(
             term_doc_tf(docs, stemming=stemming, title_boost=title_boost,
-                        meta_cols=meta_cols, tokenizer=tokenizer)
+                        meta_cols=meta_cols, tokenizer=tokenizer,
+                        positions=positions)
             .withColumn("shard", shard).withColumn("kind", kind),
             "tokens",
             partition_by=["shard", "kind"],
@@ -573,7 +639,8 @@ def _build_index_impl(
         delta = docs.where(F.col("doc_id") >= delta_start)
         catalog.rewrite_partitions(
             term_doc_tf(delta, stemming=stemming, title_boost=title_boost,
-                        meta_cols=meta_cols, tokenizer=tokenizer)
+                        meta_cols=meta_cols, tokenizer=tokenizer,
+                        positions=positions)
             .withColumn("shard", shard).withColumn("kind", kind),
             "tokens",
             sorted(set(range(delta_start // width, n_shards))),
@@ -644,7 +711,7 @@ def _build_index_impl(
                 return
             tbl = pa.Table.from_batches(batches)
             if tbl.num_rows:
-                yield from _encode_partition_arrow(tbl)
+                yield from _encode_partition_arrow(tbl, positions=positions)
 
         # ONE exchange, partitioned on shard alone: each doc-range shard
         # lands whole in EXACTLY ONE task (driver-computed salt map ⇒
@@ -663,10 +730,16 @@ def _build_index_impl(
         nparts, pexpr = encode_partitioning(
             todo, spark.sparkContext.defaultParallelism
         )
+        enc_cols = ["term", "shard", "doc_id", "tf", "doclen"]
+        if positions:
+            enc_cols.append("pos_vb")
         postings = (
-            tok.select("term", "shard", "doc_id", "tf", "doclen")
+            tok.select(*enc_cols)
             .repartition(nparts, pexpr)
-            .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
+            .mapInArrow(
+                encode_partition,
+                schema=POSTINGS_SCHEMA_POS if positions else POSTINGS_SCHEMA,
+            )
         )
         try:
             if fresh:
@@ -763,6 +836,7 @@ def _build_index_impl(
         "stemming": stemming,
         "title_boost": title_boost,
         "tokenizer": tokenizer,
+        "positions": positions,
         "lineage": lineage_summary,
         # observability metadata — capped so a full build over millions
         # of shards cannot make the manifest O(#shards) again
@@ -781,14 +855,18 @@ def _build_index_impl(
     return catalog.current_snapshot()
 
 
-def _encode_partition_arrow(tbl):
+def _encode_partition_arrow(tbl, positions: bool = False):
     """Encode ALL (term, shard) groups in one partition, Arrow-native:
     dictionary-encode the term column (C++), lexsort int codes, group
     boundaries via code changes, one whole-partition varbyte pass,
     per-block slices by byte offset.  Output rows are ordered
     (shard, term-LEXICOGRAPHIC, block_id) so a shard-partitioned write
     lands term-sorted files (row-group pruning depends on it).
-    Yields pyarrow RecordBatches."""
+    ``positions``: pass the per-posting ``pos_vb`` payloads through as
+    one concatenated blob per block (posting order) — ``pc.take`` on
+    the binary column already materializes rows contiguously in sort
+    order, so block payloads are pure byte-offset slices of its data
+    buffer, no per-row python.  Yields pyarrow RecordBatches."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -890,6 +968,24 @@ def _encode_partition_arrow(tbl):
     l_col = pa.BinaryArray.from_buffers(
         pa.binary(), len(bstarts), [None, pa.py_buffer(l_offsets), pa.py_buffer(l_buf)]
     )
+    extra_cols, extra_names = [], []
+    if positions:
+        parr = tbl.column("pos_vb").combine_chunks()
+        if isinstance(parr, pa.ChunkedArray):
+            parr = parr.chunk(0)
+        taken = pc.take(parr, pa.array(order, type=pa.int64()))
+        assert taken.offset == 0
+        p_row_off = np.frombuffer(taken.buffers()[1], dtype=np.int32)
+        p_offsets = np.empty(len(bstarts) + 1, dtype=np.int32)
+        p_offsets[:-1] = p_row_off[bstarts]
+        p_offsets[-1] = p_row_off[bends[-1]]
+        extra_cols.append(
+            pa.BinaryArray.from_buffers(
+                pa.binary(), len(bstarts),
+                [None, pa.py_buffer(p_offsets), taken.buffers()[2]],
+            )
+        )
+        extra_names.append("pos_vb")
     batch = pa.RecordBatch.from_arrays(
         [
             pc.take(term_dict, pa.array(term_codes[bstarts], type=pa.int64())),
@@ -905,11 +1001,11 @@ def _encode_partition_arrow(tbl):
             d_col,
             t_col,
             l_col,
-        ],
+        ] + extra_cols,
         names=[
             "term", "shard", "block_id", "n", "first_doc_id", "last_doc_id",
             "max_tf", "min_dl", "qmax_tfn", "tf_sum",
             "doc_ids_vb", "tfs_vb", "dls_vb",
-        ],
+        ] + extra_names,
     )
     yield batch

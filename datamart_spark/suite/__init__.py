@@ -90,6 +90,7 @@ from . import spatial  # noqa: E402,F401
 # (all entries, incl. the tail) and its green run is recorded each
 # round, so rotation never un-gates an operator locally.
 _TAIL = [
+    "bm25_single_term",  # same bm25_direct path gated by bm25_two_term_and + bm25_lang_filtered
     "bm25_or_mode",  # OR semantics still gated by bm25_batch_topk's OR member
     "bm25_indexed_or",  # OR block-max kernel gated by bm25_batch_topk (same kernel code)
     "doc_length_top",  # doc-stat scan gated by term_stats_top / indexed_term_stats_top

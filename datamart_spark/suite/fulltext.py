@@ -309,10 +309,15 @@ def _suite_catalog(spark: SparkSession, sf_dir: str):
         or snap is None
         or snap.get("stemming", True)
         or snap.get("postings_format", 1) < POSTINGS_FORMAT
+        or not snap.get("positions", False)
     ):
         docs = table(spark, sf_dir, "documents")
         cat.drop()
-        build_index(docs, cat, stemming=False, resume=False, n_docs=docs.count())
+        # positions=True: one catalog serves both the plain BM25 entries
+        # (which never select pos_vb — parquet column pruning) and the
+        # phrase entry
+        build_index(docs, cat, stemming=False, resume=False,
+                    n_docs=docs.count(), positions=True)
         with open(fp_path, "w") as f:
             json.dump({"fingerprint": fp}, f)
     _SUITE_CATALOGS[sf_dir] = cat
@@ -512,6 +517,77 @@ scored AS (SELECT doc_id, sum(tscore) AS score, count(*) AS nt FROM pt GROUP BY 
 SELECT doc_id, round(score, 4) AS score FROM scored WHERE nt = {len(terms)}
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+# --- exact-phrase BM25 over the positional index (query/phrase.py) -----------
+
+_TOKP_SQL = (
+    "SELECT doc_id,"
+    " unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS term,"
+    " unnest(range(1, 1 + len(list_filter(regexp_split_to_array(lower(text), '\\W+'),"
+    " x -> x <> '')))) AS ord FROM documents"
+)
+
+
+def _phrase_sql(terms: list[str], k: int = 10) -> str:
+    """Lucene match_phrase scoring in ANSI SQL: phraseFreq by adjacency
+    self-joins on token ordinals, idf summed over the phrase's
+    POSITIONS (a repeated term counts once per occurrence — the VALUES
+    join keeps duplicates)."""
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    values = ", ".join(f"('{t}')" for t in terms)
+    joins = "\n".join(
+        f"  JOIN tokp t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.ord = t0.ord + {i}"
+        f" AND t{i}.term = '{t}'"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    return f"""
+WITH tokp AS ({_TOKP_SQL}),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM tokp GROUP BY 1),
+stats AS (SELECT (SELECT count(*)::double FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+idf_terms AS (SELECT term,
+    ln(1 + ((SELECT n FROM stats) - count(DISTINCT doc_id)::double + 0.5)
+           / (count(DISTINCT doc_id)::double + 0.5)) AS i
+  FROM tokp WHERE term IN ({tl}) GROUP BY term),
+phrase_pos (term) AS (VALUES {values}),
+idf AS (SELECT sum(i) AS idf_sum FROM phrase_pos JOIN idf_terms USING (term)),
+pf AS (SELECT t0.doc_id, count(*)::double AS pf
+  FROM tokp t0
+{joins}
+  WHERE t0.term = '{terms[0]}' GROUP BY 1)
+SELECT pf.doc_id,
+       round((SELECT idf_sum FROM idf) * pf.pf
+             / (pf.pf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))), 4) AS score
+FROM pf JOIN dl USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@register("bm25_phrase_indexed", _phrase_sql(["table", "hash"]))
+def bm25_phrase_indexed(spark, sf_dir):
+    """Exact-phrase top-k through the positional block-max path
+    (positions carried as a fourth varbyte payload per posting block;
+    query/phrase.py adjacency kernel).  Beyond-reference surface: the
+    reference's ES layer exposes only multi_match AND/OR.  Same
+    rounded-ordering margin discipline as ``_indexed_topk``."""
+    from ..query.phrase import bm25_phrase_topk
+
+    cat = _suite_catalog(spark, sf_dir)
+    k = 10
+    for margin in (100, 1000):
+        pool = bm25_phrase_topk(spark, cat, "table hash", k=k + margin).collect()
+        if len(pool) < k + margin:
+            break
+        scores = sorted((r["score"] for r in pool), reverse=True)
+        if scores[-1] <= scores[k - 1] - 2e-4:
+            break
+    return (
+        spark.createDataFrame(pool, "doc_id long, score double")
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 @register("bm25_cross_fields_and", _cross_fields_sql(["data", "spark"]))

@@ -1,0 +1,197 @@
+"""Positional index + exact-phrase BM25 (query/phrase.py).
+
+Oracle: a brute-force python scorer over the same analyzed token
+streams — Lucene match_phrase semantics (pf = adjacent-run count,
+idf summed over phrase positions, BM25 tf-normalization on pf).
+"""
+
+import math
+import re
+
+import numpy as np
+import pytest
+
+from datamart_spark.index import IndexCatalog, build_index
+from datamart_spark.query import bm25_phrase_topk
+
+K1, B = 1.2, 0.75
+
+DOCS = [
+    (0, "merge sort beats hash join on sorted runs", "en"),
+    (1, "hash join hash join hash join", "en"),
+    (2, "the hash join operator builds a hash table", "de"),
+    (3, "join hash is not hash join", "en"),
+    (4, "sort merge join and hash join and broadcast join", "en"),
+    (5, "unrelated text about vectors and filters", "en"),
+    (6, "hash", "en"),
+    (7, "join hash join", "de"),
+]
+
+
+def _toks(text):
+    return re.findall(r"\w+", text.lower())
+
+
+def _brute_phrase(phrase, k=10, lang=None):
+    terms = phrase.split()
+    n = len(DOCS)
+    toks = {d: _toks(t) for d, t, _ in DOCS}
+    df = {
+        t: sum(1 for d in toks if t in toks[d]) for t in set(terms)
+    }
+    if any(df[t] == 0 for t in terms):
+        return []
+    idf_sum = sum(
+        math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in terms
+    )
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = []
+    for d, text, dl_lang in DOCS:
+        if lang is not None and dl_lang != lang:
+            continue
+        tk = toks[d]
+        pf = sum(
+            1
+            for i in range(len(tk) - len(terms) + 1)
+            if tk[i : i + len(terms)] == terms
+        )
+        if pf:
+            dl = len(tk)
+            s = idf_sum * pf / (pf + K1 * (1 - B + B * dl / avgdl))
+            out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+@pytest.fixture(scope="module")
+def pos_catalog(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("phrase_idx")
+    docs = spark.createDataFrame(
+        [(d, t, lg) for d, t, lg in DOCS], "doc_id long, text string, lang string"
+    )
+    cat = IndexCatalog(str(root / "cat"))
+    # 3 shards so phrase intersection crosses shard kernels
+    build_index(docs, cat, n_shards=3, stemming=False, resume=False,
+                n_docs=len(DOCS), positions=True)
+    return cat
+
+
+def _run(spark, cat, phrase, **kw):
+    return [
+        (r["doc_id"], r["score"])
+        for r in bm25_phrase_topk(spark, cat, phrase, **kw).collect()
+    ]
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [
+        "hash join",          # multi-doc, multi-occurrence
+        "hash join hash",     # overlapping self-similar phrase
+        "sort merge join",    # trigram
+        "join hash",          # reversed order ≠ forward order
+        "hash table",         # phrase at document end
+        "merge sort beats hash join on sorted runs",  # whole document
+    ],
+)
+def test_phrase_matches_bruteforce(spark, pos_catalog, phrase):
+    got = _run(spark, pos_catalog, phrase)
+    exp = _brute_phrase(phrase)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in exp], rtol=1e-9
+    )
+
+
+def test_phrase_no_match_and_absent_term(spark, pos_catalog):
+    assert _run(spark, pos_catalog, "join merge sort") == []  # never adjacent
+    assert _run(spark, pos_catalog, "hash quux") == []  # df=0 term
+
+
+def test_phrase_lang_filter(spark, pos_catalog):
+    got = _run(spark, pos_catalog, "hash join", lang="de")
+    exp = _brute_phrase("hash join", lang="de")
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in exp], rtol=1e-9
+    )
+
+
+def test_single_term_phrase_delegates(spark, pos_catalog):
+    from datamart_spark.query import bm25_topk_blockmax
+
+    got = _run(spark, pos_catalog, "hash")
+    exp = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_blockmax(spark, pos_catalog, "hash", k=10).collect()
+    ]
+    assert got == exp
+
+
+def test_phrase_needs_positional_index(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(d, t, lg) for d, t, lg in DOCS], "doc_id long, text string, lang string"
+    )
+    cat = IndexCatalog(str(tmp_path / "plain"))
+    build_index(docs, cat, stemming=False, resume=False, n_docs=len(DOCS))
+    with pytest.raises(ValueError, match="positional"):
+        bm25_phrase_topk(spark, cat, "hash join")
+
+
+def test_positions_incompatible_with_title_boost(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(d, t, lg) for d, t, lg in DOCS], "doc_id long, text string, lang string"
+    )
+    cat = IndexCatalog(str(tmp_path / "tb"))
+    with pytest.raises(ValueError, match="title_boost"):
+        build_index(docs, cat, stemming=False, resume=False,
+                    n_docs=len(DOCS), positions=True, title_boost=10)
+
+
+def test_resume_flags_positions_mismatch(spark, pos_catalog, tmp_path):
+    docs = spark.createDataFrame(
+        [(d, t, lg) for d, t, lg in DOCS], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="positions"):
+        build_index(docs, pos_catalog, stemming=False, n_docs=len(DOCS),
+                    positions=False)
+
+
+def test_growth_preserves_positions(spark, tmp_path):
+    """Grow a positional index and verify phrase results stay exact
+    over old + new docs (boundary-shard rewrite keeps positions)."""
+    first = DOCS[:5]
+    docs1 = spark.createDataFrame(
+        [(d, t, lg) for d, t, lg in first], "doc_id long, text string, lang string"
+    )
+    cat = IndexCatalog(str(tmp_path / "grow"))
+    build_index(docs1, cat, n_shards=2, stemming=False, resume=False,
+                n_docs=len(first), positions=True)
+    docs2 = spark.createDataFrame(
+        [(d, t, lg) for d, t, lg in DOCS], "doc_id long, text string, lang string"
+    )
+    snap = build_index(docs2, cat, stemming=False, n_docs=len(DOCS),
+                       positions=True)
+    assert snap["positions"] is True
+    got = _run(spark, cat, "hash join")
+    exp = _brute_phrase("hash join")
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in exp], rtol=1e-9
+    )
+
+
+def test_stemmed_phrase(spark, tmp_path):
+    """Positions with stemming: surface forms collapse to one stem and
+    the phrase matches across forms ('joining tables' ~ 'join table')."""
+    rows = [
+        (0, "joining tables quickly"),
+        (1, "join table now"),
+        (2, "table join now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cat = IndexCatalog(str(tmp_path / "stem"))
+    build_index(docs, cat, stemming=True, resume=False, n_docs=len(rows),
+                positions=True)
+    got = _run(spark, cat, "join table")
+    assert [d for d, _ in got] == [0, 1]

@@ -18,6 +18,7 @@ SOLE_GATES = [
     "keyset_pagination",
     "numeric_profile_lineitem",
     "admin_area_profile",  # §1.2 AdministrativeArea rule (round 5)
+    "bm25_phrase_indexed",  # positional postings + phrase kernel (round 6)
 ]
 
 
