@@ -344,6 +344,8 @@ robustness {s['envelope']['robust_docs_per_sec']:.0f} docs/s
 (x{s['envelope_factor']} tolerance, re-run on breach), and the peak
 probe is cross-checked against the same-session robustness build.
 This run: envelope_reruns={s['envelope_reruns']},
+superlinear_reruns={s['superlinear_reruns']} (a reading above 1.0 means
+an inflated t_low — extra LOW-level runs are spent until it drops),
 peak_vs_robust_contradiction={str(s['peak_vs_robust_contradiction']).lower()},
 **host_degraded={str(s['host_degraded']).lower()}**.
 
@@ -473,6 +475,22 @@ def main() -> None:
             or min(t_highs) > ENVELOPE_FACTOR * ENVELOPE["t_high_sec"]
         )
 
+    # superlinear guard: efficiency > 1 is not physically available to
+    # this workload (the high level adds task slots, never per-core
+    # speed), so a reading above 1 means t_low is STILL inflated — the
+    # one direction the min-discipline can fix, since extra runs only
+    # ever lower a level's min.  Spend bounded reruns on the LOW level
+    # until the ratio drops to ≤1; if it stays mildly superlinear with
+    # tight spreads, report it as measured (r6: 1.078 with 4%/7%
+    # spreads on a window where t_high beat its envelope by 9%).
+    sup_reruns = 0
+    while (
+        (min(t_lows) / min(t_highs)) / (HIGH_CPUS / LOW_CPUS) > 1.0
+        and sup_reruns < MAX_EXTRA_PAIRS
+    ):
+        run_level(LOW_CPUS)
+        sup_reruns += 1
+
     t_low, t_high = min(t_lows), min(t_highs)
     # peak single-node throughput (informational): the largest level the
     # box can run at all (local[16] ⇒ ~32 runnable threads)
@@ -534,6 +552,7 @@ def main() -> None:
             "envelope_factor": ENVELOPE_FACTOR,
             "envelope_applies": ENVELOPE_APPLIES,
             "envelope_reruns": envelope_reruns,
+            "superlinear_reruns": sup_reruns,
             "peak_vs_robust_contradiction": contradiction,
             "host_degraded": host_degraded,
         },

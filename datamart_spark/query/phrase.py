@@ -55,12 +55,15 @@ _Z = np.zeros(0, np.uint64)
 
 
 def _decode_blocks_pos(
-    rows: pd.DataFrame, candidates: np.ndarray | None
+    rows: pd.DataFrame, candidates: np.ndarray | None, want: int = 3
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Decode one term's surviving blocks incl. positions.  Returns
     (doc_ids, tfs, dls, flat_abs_positions, posting_pos_offsets) where
     ``posting_pos_offsets`` has len(doc_ids)+1 and posting j's positions
-    are ``flat[off[j]:off[j+1]]`` (ascending within the posting)."""
+    are ``flat[off[j]:off[j+1]]`` (ascending within the posting).
+    ``want``: 1 = doc ids only (the candidate-intersection passes — the
+    position payload is the largest and must not be decoded there),
+    3 = everything."""
     order = np.argsort(rows["block_id"].to_numpy())
     firsts = rows["first_doc_id"].to_numpy()[order]
     lasts = rows["last_doc_id"].to_numpy()[order]
@@ -78,8 +81,10 @@ def _decode_blocks_pos(
     pvb = rows["pos_vb"].to_numpy()[order]
     d_parts, t_parts, l_parts, p_parts = [], [], [], []
     for i in np.flatnonzero(keep):
-        tf = vb_decode(bytes(tvb[i]))
         d_parts.append(delta_decode(vb_decode(bytes(dvb[i]))))
+        if want < 3:
+            continue
+        tf = vb_decode(bytes(tvb[i]))
         t_parts.append(tf)
         l_parts.append(vb_decode(bytes(lvb[i])))
         # positions: per-posting delta streams concatenated; groupwise
@@ -94,6 +99,8 @@ def _decode_blocks_pos(
     if not d_parts:
         return _Z, _Z, _Z, _Z, np.zeros(1, np.int64)
     d = np.concatenate(d_parts)
+    if want < 3:
+        return d, _Z, _Z, _Z, np.zeros(1, np.int64)
     tf = np.concatenate(t_parts)
     dl = np.concatenate(l_parts)
     flat = np.concatenate(p_parts)
@@ -120,58 +127,87 @@ def _ragged_gather(offsets: np.ndarray, counts: np.ndarray) -> np.ndarray:
 def _phrase_topk_shard(
     post: pd.DataFrame,
     filter_ids: np.ndarray | None,
-    phrase_terms: list[str],
+    term_sets: list[list[str]],
     idf_sum: float,
     avgdl: float,
     k: int,
 ) -> pd.DataFrame:
+    """Top-k of one shard for a positional sequence query.
+
+    ``term_sets[i]`` is the set of terms acceptable at phrase position
+    i — singletons for an exact phrase, and the prefix's expansion set
+    at the last position for match_phrase_prefix (the Lucene
+    MultiPhraseQuery shape).  A document is a candidate iff for EVERY
+    position at least one of its terms is present; pf counts offsets p
+    where position i matches some term of set i at p+i."""
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "score": pd.Series([], dtype="float64")})
     if post.empty or (filter_ids is not None and filter_ids.size == 0):
         return empty
-    uniq: dict[str, None] = {}
-    for t in phrase_terms:
-        uniq.setdefault(t, None)
     by_term = dict(tuple(post.groupby("term", sort=False)))
-    if len(by_term) < len(uniq):
-        return empty  # a phrase term absent from this shard
+    # per position: the subset of its terms present in this shard
+    present_sets: list[list[str]] = []
+    for ts in term_sets:
+        here = [t for t in ts if t in by_term]
+        if not here:
+            return empty  # no acceptable term for this position here
+        present_sets.append(here)
 
-    # 1. AND-intersection of candidate docs, rarest term driving
-    term_order = sorted(uniq, key=lambda t: int(by_term[t]["n"].sum()))
-    cand, _, _, _, _ = _decode_blocks_pos(by_term[term_order[0]], None)
+    def union_docs(ts: list[str], cand: np.ndarray | None) -> np.ndarray:
+        parts = [_decode_blocks_pos(by_term[t], cand, want=1)[0] for t in ts]
+        if len(parts) == 1:
+            return parts[0]
+        return np.unique(np.concatenate(parts))
+
+    # 1. candidate intersection across positions, smallest set driving
+    set_order = np.argsort([
+        sum(int(by_term[t]["n"].sum()) for t in ts) for ts in present_sets
+    ])
+    cand = union_docs(present_sets[set_order[0]], None)
     if filter_ids is not None:
         cand = cand[np.isin(cand, filter_ids)]
-    for t in term_order[1:]:
+    for si in set_order[1:]:
         if cand.size == 0:
             return empty
-        d, _, _, _, _ = _decode_blocks_pos(by_term[t], cand)
-        cand = cand[np.isin(cand, d)]
+        cand = cand[np.isin(cand, union_docs(present_sets[si], cand))]
     if cand.size == 0:
         return empty
 
-    # 2. per-unique-term candidate positions as sorted key arrays
-    m = len(phrase_terms)
+    # 2. per-term candidate positions (terms may repeat across
+    # positions — decode once each) + doclen fill from any present term
+    m = len(term_sets)
     keys_of: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    dl_cand: np.ndarray | None = None
-    for t in uniq:
+    dl_cand = np.zeros(cand.size, dtype=np.float64)
+    for t in {t for ts in present_sets for t in ts}:
         d, tf, dl, flat, off = _decode_blocks_pos(by_term[t], cand)
-        sel = np.searchsorted(d, cand)
-        if dl_cand is None:
-            dl_cand = dl[sel].astype(np.float64)
+        loc = np.searchsorted(d, cand)
+        loc_c = np.minimum(loc, max(d.size - 1, 0))
+        has = d[loc_c] == cand if d.size else np.zeros(cand.size, bool)
+        dl_cand[has] = dl[loc_c[has]].astype(np.float64)
+        sel = loc_c[has]
         counts = tf[sel].astype(np.int64)
         idx = _ragged_gather(off[sel], counts)
         pos = flat[idx]
-        doc_local = np.repeat(np.arange(cand.size, dtype=np.int64), counts)
+        doc_local = np.repeat(
+            np.flatnonzero(has).astype(np.int64), counts
+        )
         keys_of[t] = (doc_local, pos)
 
+    def position_keys(i: int) -> np.ndarray:
+        parts = []
+        for t in present_sets[i]:
+            doc_t, pos_t = keys_of[t]
+            parts.append(doc_t * (1 << 33) + (pos_t - i + m))
+        if len(parts) == 1:
+            return parts[0]  # already sorted (docs asc, pos asc)
+        return np.sort(np.concatenate(parts))  # one token per offset ⇒ unique
+
     # 3. adjacency: intersect key sets shifted by phrase position
-    doc0, pos0 = keys_of[phrase_terms[0]]
-    running = doc0 * (1 << 33) + (pos0 + m)  # sorted: docs asc, pos asc
-    for i, t in enumerate(phrase_terms[1:], start=1):
+    running = position_keys(0)
+    for i in range(1, m):
         if running.size == 0:
             return empty
-        doc_i, pos_i = keys_of[t]
-        keys_i = doc_i * (1 << 33) + (pos_i - i + m)
+        keys_i = position_keys(i)
         loc = np.searchsorted(keys_i, running)
         loc_c = np.minimum(loc, max(keys_i.size - 1, 0))
         running = (
@@ -227,16 +263,31 @@ def bm25_phrase_topk(
             spark, catalog, phrase, k=k, lang=lang, ts_lo=ts_lo, ts_hi=ts_hi
         )
 
+    term_sets = [[t] for t in terms]
+    return _run_positional(
+        spark, catalog, term_sets, idf_sum, avgdl, k, lang, ts_lo, ts_hi
+    )
+
+
+def _run_positional(
+    spark, catalog, term_sets, idf_sum, avgdl, k, lang, ts_lo, ts_hi
+) -> DataFrame:
+    """Shared execution of a positional sequence query: one pruned scan
+    over the union of all positions' terms, per-shard kernel, global
+    merge."""
+    all_terms = sorted({t for ts in term_sets for t in ts})
     filtered = lang is not None or ts_lo is not None or ts_hi is not None
     postings = (
         catalog.read_snapshot(spark, "postings")
-        .where(F.col("term").isin(list(set(terms))))
+        .where(F.col("term").isin(all_terms))
         .select(*_PHRASE_COLS)
     )
 
     if not filtered:
         def kernel(post_pdf: pd.DataFrame) -> pd.DataFrame:
-            return _phrase_topk_shard(post_pdf, None, terms, idf_sum, avgdl, k)
+            return _phrase_topk_shard(
+                post_pdf, None, term_sets, idf_sum, avgdl, k
+            )
 
         local = postings.groupby("shard").applyInPandas(
             kernel, schema=_RESULT_SCHEMA
@@ -246,7 +297,9 @@ def bm25_phrase_topk(
 
         def kernel2(key, post_pdf, docs_pdf):
             fids = np.sort(docs_pdf["doc_id"].to_numpy().astype(np.uint64))
-            return _phrase_topk_shard(post_pdf, fids, terms, idf_sum, avgdl, k)
+            return _phrase_topk_shard(
+                post_pdf, fids, term_sets, idf_sum, avgdl, k
+            )
 
         local = (
             postings.groupby("shard")
@@ -254,3 +307,85 @@ def bm25_phrase_topk(
             .applyInPandas(kernel2, schema=_RESULT_SCHEMA)
         )
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def expand_prefix(
+    spark: SparkSession, catalog, prefix: str, max_expansions: int = 50
+) -> list[str]:
+    """The lexicographically-first ``max_expansions`` index terms with
+    the given prefix — deterministic (Lucene expands in term-dictionary
+    order, which IS lexicographic).  ``startswith`` is a parquet-
+    pushable filter (StringStartsWith) against the term_stats scan."""
+    rows = (
+        catalog.read_snapshot(spark, "term_stats")
+        .where(F.col("term").startswith(prefix))
+        .orderBy("term")
+        .limit(max_expansions)
+        .select("term")
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def bm25_phrase_prefix_topk(
+    spark: SparkSession,
+    catalog,
+    phrase: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    lang: str | None = None,
+    ts_lo=None,
+    ts_hi=None,
+) -> DataFrame:
+    """match_phrase_prefix (search-as-you-type): the LAST token of
+    ``phrase`` is a prefix; it expands to the lexicographically-first
+    ``max_expansions`` index terms (ES match_phrase_prefix semantics,
+    default cap 50), and a document matches where the fixed terms are
+    followed by ANY expansion — Lucene's MultiPhraseQuery.  Scoring
+    follows MultiPhraseWeight: idf is summed over the fixed positions
+    AND every expansion's term statistics; tf is the match count.
+
+    The prefix is lowercased but NOT stemmed — expansions match raw
+    index terms (on a stemmed index they are stems), mirroring how ES
+    keyword-expands against the term dictionary rather than analyzing
+    the fragment."""
+    snap = catalog.current_snapshot()
+    if not snap.get("positions", False):
+        raise ValueError(
+            "phrase queries need a positional index — rebuild with "
+            "build_index(..., positions=True)"
+        )
+    avgdl = snap["avgdl"]
+    stemming = snap.get("stemming", True)
+    tokens = analyze_str(phrase, None, tokenizer=snap.get("tokenizer", "simple"))
+    empty = spark.createDataFrame([], _RESULT_SCHEMA)
+    if not tokens:
+        return empty
+    prefix = tokens[-1]
+    fixed_surface = tokens[:-1]
+    if stemming:
+        cache = StemCache()
+        fixed = [cache(t) for t in fixed_surface]
+    else:
+        fixed = fixed_surface
+    expansions = expand_prefix(spark, catalog, prefix, max_expansions)
+    if not expansions:
+        return empty
+    idfs = idf_map(spark, catalog, list(dict.fromkeys(fixed + expansions)))
+    if len(idfs) < len(set(fixed)):
+        return empty  # a fixed term with df=0 kills the query
+    # MultiPhraseWeight: one TermStatistics entry per fixed position
+    # plus one per expansion — a fixed term that is also an expansion
+    # counts in both sums
+    idf_sum = float(
+        sum(idfs[t] for t in fixed)
+        + sum(idfs[t] for t in expansions if t in idfs)
+    )
+    if not fixed:
+        # bare prefix: a 1-position sequence over the expansion set
+        term_sets = [expansions]
+    else:
+        term_sets = [[t] for t in fixed] + [expansions]
+    return _run_positional(
+        spark, catalog, term_sets, idf_sum, avgdl, k, lang, ts_lo, ts_hi
+    )

@@ -590,6 +590,79 @@ def bm25_phrase_indexed(spark, sf_dir):
     )
 
 
+def _phrase_prefix_sql(
+    fixed: list[str], prefix: str, k: int = 10, max_expansions: int = 50
+) -> str:
+    """match_phrase_prefix scoring in ANSI SQL: the last position
+    accepts any of the lexicographically-first ``max_expansions``
+    distinct corpus terms with the prefix; idf sums the fixed
+    positions' AND every expansion's term statistics (Lucene
+    MultiPhraseWeight)."""
+    tl = ", ".join(f"'{t}'" for t in sorted(set(fixed))) or "''"
+    values = ", ".join(f"('{t}')" for t in fixed)
+    m = len(fixed)
+    joins = "\n".join(
+        f"  JOIN tokp t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.ord = t0.ord + {i}"
+        f" AND t{i}.term = '{t}'"
+        for i, t in enumerate(fixed[1:], start=1)
+    )
+    return f"""
+WITH tokp AS ({_TOKP_SQL}),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM tokp GROUP BY 1),
+stats AS (SELECT (SELECT count(*)::double FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+exp AS (SELECT DISTINCT term FROM tokp WHERE term LIKE '{prefix}%'
+        ORDER BY term LIMIT {max_expansions}),
+idf_terms AS (SELECT term,
+    ln(1 + ((SELECT n FROM stats) - count(DISTINCT doc_id)::double + 0.5)
+           / (count(DISTINCT doc_id)::double + 0.5)) AS i
+  FROM tokp WHERE term IN ({tl}) OR term IN (SELECT term FROM exp)
+  GROUP BY term),
+fixed_pos (term) AS (VALUES {values}),
+idf AS (SELECT
+    (SELECT coalesce(sum(i), 0) FROM fixed_pos JOIN idf_terms USING (term))
+  + (SELECT coalesce(sum(i), 0) FROM exp JOIN idf_terms USING (term)) AS idf_sum),
+pf AS (SELECT t0.doc_id, count(*)::double AS pf
+  FROM tokp t0
+{joins}
+  JOIN tokp tp ON tp.doc_id = t0.doc_id AND tp.ord = t0.ord + {m}
+             AND tp.term IN (SELECT term FROM exp)
+  WHERE t0.term = '{fixed[0]}' GROUP BY 1)
+SELECT pf.doc_id,
+       round((SELECT idf_sum FROM idf) * pf.pf
+             / (pf.pf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))), 4) AS score
+FROM pf JOIN dl USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@register("bm25_phrase_prefix", _phrase_prefix_sql(["table"], "s"))
+def bm25_phrase_prefix(spark, sf_dir):
+    """match_phrase_prefix (search-as-you-type): 'table s' — the fixed
+    term followed by any of prefix 's's expansions (6 index terms at
+    this corpus's vocabulary), the Lucene MultiPhraseQuery shape over
+    the positional index.  Same margin discipline as ``_indexed_topk``."""
+    from ..query.phrase import bm25_phrase_prefix_topk
+
+    cat = _suite_catalog(spark, sf_dir)
+    k = 10
+    for margin in (100, 1000):
+        pool = bm25_phrase_prefix_topk(
+            spark, cat, "table s", k=k + margin
+        ).collect()
+        if len(pool) < k + margin:
+            break
+        scores = sorted((r["score"] for r in pool), reverse=True)
+        if scores[-1] <= scores[k - 1] - 2e-4:
+            break
+    return (
+        spark.createDataFrame(pool, "doc_id long, score double")
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 @register("bm25_cross_fields_and", _cross_fields_sql(["data", "spark"]))
 def bm25_cross_fields_and(spark, sf_dir):
     """P1/R1 exact form: cross_fields multi_match (blended df, dismax

@@ -181,6 +181,89 @@ def test_growth_preserves_positions(spark, tmp_path):
     )
 
 
+def _brute_prefix(phrase, k=10, max_expansions=50):
+    """match_phrase_prefix oracle: last token expands to the
+    lexicographically-first terms with that prefix; idf sums fixed
+    positions + every expansion (Lucene MultiPhraseWeight)."""
+    toks_q = phrase.split()
+    fixed, prefix = toks_q[:-1], toks_q[-1]
+    n = len(DOCS)
+    toks = {d: _toks(t) for d, t, _ in DOCS}
+    vocab = sorted({t for tk in toks.values() for t in tk})
+    exp = [t for t in vocab if t.startswith(prefix)][:max_expansions]
+    if not exp:
+        return []
+    df = {
+        t: sum(1 for d in toks if t in toks[d]) for t in set(fixed) | set(exp)
+    }
+    if any(df[t] == 0 for t in fixed):
+        return []
+
+    def idf(t):
+        return math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+
+    idf_sum = sum(idf(t) for t in fixed) + sum(idf(t) for t in exp)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    m = len(fixed)
+    out = []
+    for d, _, _ in DOCS:
+        tk = toks[d]
+        pf = sum(
+            1
+            for i in range(len(tk) - m)
+            if tk[i : i + m] == fixed and tk[i + m] in exp
+        )
+        if pf:
+            dl = len(tk)
+            s = idf_sum * pf / (pf + K1 * (1 - B + B * dl / avgdl))
+            out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("phrase", ["hash j", "merge s", "sort m", "hash jo"])
+def test_phrase_prefix_matches_bruteforce(spark, pos_catalog, phrase):
+    from datamart_spark.query import bm25_phrase_prefix_topk
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_phrase_prefix_topk(spark, pos_catalog, phrase).collect()
+    ]
+    exp = _brute_prefix(phrase)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in exp], rtol=1e-9
+    )
+
+
+def test_phrase_prefix_expansion_cap(spark, pos_catalog):
+    from datamart_spark.query import bm25_phrase_prefix_topk
+    from datamart_spark.query.phrase import expand_prefix
+
+    exp_all = expand_prefix(spark, pos_catalog, "s")
+    assert exp_all == sorted(exp_all)  # deterministic lexicographic order
+    assert len(exp_all) >= 2
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_phrase_prefix_topk(
+            spark, pos_catalog, "merge s", max_expansions=1
+        ).collect()
+    ]
+    exp = _brute_prefix("merge s", max_expansions=1)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in exp], rtol=1e-9
+    )
+
+
+def test_phrase_prefix_no_expansion(spark, pos_catalog):
+    from datamart_spark.query import bm25_phrase_prefix_topk
+
+    assert bm25_phrase_prefix_topk(
+        spark, pos_catalog, "hash zzz"
+    ).count() == 0
+
+
 def test_stemmed_phrase(spark, tmp_path):
     """Positions with stemming: surface forms collapse to one stem and
     the phrase matches across forms ('joining tables' ~ 'join table')."""
