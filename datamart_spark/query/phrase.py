@@ -372,7 +372,9 @@ def bm25_phrase_prefix_topk(
     if not expansions:
         return empty
     idfs = idf_map(spark, catalog, list(dict.fromkeys(fixed + expansions)))
-    if len(idfs) < len(set(fixed)):
+    # membership, not a count: idfs also holds the expansions, so a
+    # df=0 FIXED term would otherwise slip past a size comparison
+    if any(t not in idfs for t in fixed):
         return empty  # a fixed term with df=0 kills the query
     # MultiPhraseWeight: one TermStatistics entry per fixed position
     # plus one per expansion — a fixed term that is also an expansion

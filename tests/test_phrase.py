@@ -264,6 +264,17 @@ def test_phrase_prefix_no_expansion(spark, pos_catalog):
     ).count() == 0
 
 
+def test_phrase_prefix_absent_fixed_term(spark, pos_catalog):
+    """A df=0 FIXED term kills the query even when the prefix expands —
+    regression: the idf map also holds the expansions, so a size check
+    (instead of membership) let the missing term through to a KeyError."""
+    from datamart_spark.query import bm25_phrase_prefix_topk
+
+    assert bm25_phrase_prefix_topk(
+        spark, pos_catalog, "zzznotaword h"
+    ).count() == 0
+
+
 def test_stemmed_phrase(spark, tmp_path):
     """Positions with stemming: surface forms collapse to one stem and
     the phrase matches across forms ('joining tables' ~ 'join table')."""
