@@ -107,9 +107,11 @@ ROBUST_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_ROBUST_DOCS", "500000"))
 # about being weather-limited rather than silently failing the bar.
 ENVELOPE = {
     "t_low_sec": float(os.environ.get("SPARK_GRAFT_ENV_T_LOW", "118")),
-    "t_high_sec": float(os.environ.get("SPARK_GRAFT_ENV_T_HIGH", "31")),
+    # r6 session bests on identical code: t_high 28.3 s, robustness
+    # 12,063 docs/s — pinned slightly conservative of those
+    "t_high_sec": float(os.environ.get("SPARK_GRAFT_ENV_T_HIGH", "30")),
     "robust_docs_per_sec": float(
-        os.environ.get("SPARK_GRAFT_ENV_ROBUST_DPS", "10200")
+        os.environ.get("SPARK_GRAFT_ENV_ROBUST_DPS", "11000")
     ),
 }
 ENVELOPE_FACTOR = float(os.environ.get("SPARK_GRAFT_ENV_FACTOR", "1.5"))

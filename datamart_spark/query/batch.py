@@ -67,7 +67,12 @@ def bm25_topk_batch(
     ``queries``: list of dicts with keys ``query_id`` (str), ``query``
     (str) and optional ``or_mode`` (bool), ``lang`` (str), ``ts_lo`` /
     ``ts_hi`` (timestamps) — the same per-query surface as
-    ``bm25_topk_blockmax``, heterogeneous across the batch.
+    ``bm25_topk_blockmax``, heterogeneous across the batch.  A spec may
+    instead set ``phrase: True`` (exact phrase, query/phrase.py
+    semantics) or ``phrase_prefix: True`` (last token expands,
+    match_phrase_prefix) — those need a positional index, and their
+    position payload rides the same single scan (``pos_vb`` is added to
+    the selected columns only when the batch contains one).
 
     Returns (query_id, doc_id, score), each query's rows ordered
     (score desc, doc_id asc), ≤ k rows per query; queries with no
@@ -95,15 +100,58 @@ def bm25_topk_batch(
         )
     empty = spark.createDataFrame([], _BATCH_RESULT_SCHEMA)
     analyzed: list[tuple[str, list[str], bool, tuple]] = []
+    # positional specs: (query_id, term_sets, ordered phrase terms
+    # incl. expansions for the idf sum, ctx) — resolved after idf fetch
+    phrased: list[tuple[str, list[list[str]], list[str], tuple]] = []
     all_terms: set[str] = set()
+    any_positional = any(
+        q.get("phrase") or q.get("phrase_prefix") for q in queries
+    )
+    if any_positional and not snap.get("positions", False):
+        raise ValueError(
+            "batch contains phrase/phrase_prefix specs but the index is "
+            "not positional — rebuild with build_index(..., positions=True)"
+        )
     for q in queries:
+        ctx = (q.get("lang"), q.get("ts_lo"), q.get("ts_hi"))
+        if q.get("phrase") or q.get("phrase_prefix"):
+            from ..analyzer import StemCache, analyze_str
+            from .phrase import expand_prefix
+
+            if q.get("phrase_prefix"):
+                toks = analyze_str(q["query"], None, tokenizer=tokenizer)
+                if not toks:
+                    continue
+                prefix, fixed_surface = toks[-1], toks[:-1]
+                if stemming:
+                    cache = StemCache()
+                    fixed = [cache(t) for t in fixed_surface]
+                else:
+                    fixed = fixed_surface
+                expansions = expand_prefix(spark, catalog, prefix)
+                if not expansions:
+                    continue
+                term_sets = ([[t] for t in fixed] + [expansions]
+                             if fixed else [expansions])
+                idf_terms = fixed + expansions
+            else:
+                terms = analyze_str(
+                    q["query"], StemCache() if stemming else None,
+                    tokenizer=tokenizer,
+                )
+                if not terms:
+                    continue
+                term_sets = [[t] for t in terms]
+                idf_terms = terms
+            phrased.append((str(q["query_id"]), term_sets, idf_terms, ctx))
+            all_terms.update(t for ts in term_sets for t in ts)
+            continue
         terms = analyze_query(q["query"], stemming=stemming, tokenizer=tokenizer)
         if not terms:
             continue
-        ctx = (q.get("lang"), q.get("ts_lo"), q.get("ts_hi"))
         analyzed.append((str(q["query_id"]), terms, bool(q.get("or_mode", False)), ctx))
         all_terms.update(terms)
-    if not analyzed:
+    if not analyzed and not phrased:
         return empty
 
     idfs = idf_map(spark, catalog, sorted(all_terms))
@@ -126,14 +174,47 @@ def bm25_topk_batch(
         if ctx != (None, None, None):
             cid = ctx_ids.setdefault(ctx, len(ctx_ids))
         specs.append((qid, tuple(terms), n_terms, or_mode, cid))
-    if not specs:
+
+    # positional specs: a singleton position's term with df=0 kills the
+    # query (same as AND); a multi-term position (prefix expansion set)
+    # keeps its df>0 members
+    pspecs: list[tuple[str, list[list[str]], float, int | None]] = []
+    for qid, term_sets, idf_terms, ctx in phrased:
+        kept_sets = []
+        dead = False
+        for ts in term_sets:
+            if len(ts) == 1:
+                if ts[0] not in idfs:
+                    dead = True
+                    break
+                kept_sets.append(ts)
+            else:
+                here = [t for t in ts if t in idfs]
+                if not here:
+                    dead = True
+                    break
+                kept_sets.append(here)
+        if dead:
+            continue
+        idf_sum = float(sum(idfs[t] for t in idf_terms if t in idfs))
+        cid = None
+        if ctx != (None, None, None):
+            cid = ctx_ids.setdefault(ctx, len(ctx_ids))
+        pspecs.append((qid, kept_sets, idf_sum, cid))
+    if not specs and not pspecs:
         return empty
 
-    union_terms = sorted({t for _, terms, _, _, _ in specs for t in terms})
+    union_terms = sorted(
+        {t for _, terms, _, _, _ in specs for t in terms}
+        | {t for _, sets, _, _ in pspecs for ts in sets for t in ts}
+    )
+    scan_cols = list(_POSTING_COLS)
+    if pspecs:
+        scan_cols.append("pos_vb")
     postings = (
         catalog.read_snapshot(spark, "postings")
         .where(F.col("term").isin(union_terms))
-        .select(*_POSTING_COLS)
+        .select(*scan_cols)
     )
 
     _empty_fids = np.zeros(0, np.uint64)
@@ -166,6 +247,20 @@ def bm25_topk_batch(
                 r = r.copy()
                 r.insert(0, "query_id", qid)
                 parts.append(r)
+        if pspecs:
+            from .phrase import _phrase_topk_from_terms
+
+            for qid, term_sets, idf_sum, cid in pspecs:
+                fids = None
+                if cid is not None:
+                    fids = fids_by_ctx.get(cid, _empty_fids)
+                r = _phrase_topk_from_terms(
+                    by_term, fids, term_sets, idf_sum, avgdl, k
+                )
+                if len(r):
+                    r = r.copy()
+                    r.insert(0, "query_id", qid)
+                    parts.append(r)
         return pd.concat(parts, ignore_index=True) if parts else out_empty
 
     if not ctx_ids:

@@ -132,7 +132,29 @@ def _phrase_topk_shard(
     avgdl: float,
     k: int,
 ) -> pd.DataFrame:
-    """Top-k of one shard for a positional sequence query.
+    """Top-k of one shard for a positional sequence query (groups the
+    shard's posting rows by term, then delegates)."""
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    if post.empty:
+        return empty
+    by_term = dict(tuple(post.groupby("term", sort=False)))
+    return _phrase_topk_from_terms(
+        by_term, filter_ids, term_sets, idf_sum, avgdl, k
+    )
+
+
+def _phrase_topk_from_terms(
+    by_term: dict[str, pd.DataFrame],
+    filter_ids: np.ndarray | None,
+    term_sets: list[list[str]],
+    idf_sum: float,
+    avgdl: float,
+    k: int,
+) -> pd.DataFrame:
+    """Core of one shard's positional top-k over an already-grouped
+    term → posting-rows map (the batch kernel calls this directly,
+    the way ``wand._topk_from_terms`` is shared).
 
     ``term_sets[i]`` is the set of terms acceptable at phrase position
     i — singletons for an exact phrase, and the prefix's expansion set
@@ -142,9 +164,8 @@ def _phrase_topk_shard(
     where position i matches some term of set i at p+i."""
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "score": pd.Series([], dtype="float64")})
-    if post.empty or (filter_ids is not None and filter_ids.size == 0):
+    if filter_ids is not None and filter_ids.size == 0:
         return empty
-    by_term = dict(tuple(post.groupby("term", sort=False)))
     # per position: the subset of its terms present in this shard
     present_sets: list[list[str]] = []
     for ts in term_sets:

@@ -275,6 +275,67 @@ def test_phrase_prefix_absent_fixed_term(spark, pos_catalog):
     ).count() == 0
 
 
+def test_batch_with_phrase_specs(spark, pos_catalog):
+    """A heterogeneous batch mixing keyword AND/OR, exact-phrase,
+    phrase-prefix and a lang-filtered phrase is rank-identical to the
+    single-query engines, per query."""
+    from datamart_spark.query import (
+        bm25_phrase_prefix_topk,
+        bm25_phrase_topk,
+        bm25_topk_batch,
+        bm25_topk_blockmax,
+    )
+
+    specs = [
+        {"query_id": "kw_and", "query": "hash join"},
+        {"query_id": "kw_or", "query": "hash join", "or_mode": True},
+        {"query_id": "ph", "query": "hash join", "phrase": True},
+        {"query_id": "ph_de", "query": "hash join", "phrase": True,
+         "lang": "de"},
+        {"query_id": "pp", "query": "merge s", "phrase_prefix": True},
+        {"query_id": "ph_dead", "query": "hash zzznotaword", "phrase": True},
+    ]
+    got = {}
+    for r in bm25_topk_batch(spark, pos_catalog, specs, k=10).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+
+    def rows(df):
+        return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+    exp = {
+        "kw_and": rows(bm25_topk_blockmax(spark, pos_catalog, "hash join", k=10)),
+        "kw_or": rows(bm25_topk_blockmax(spark, pos_catalog, "hash join",
+                                         k=10, or_mode=True)),
+        "ph": rows(bm25_phrase_topk(spark, pos_catalog, "hash join", k=10)),
+        "ph_de": rows(bm25_phrase_topk(spark, pos_catalog, "hash join",
+                                       k=10, lang="de")),
+        "pp": rows(bm25_phrase_prefix_topk(spark, pos_catalog, "merge s", k=10)),
+    }
+    assert "ph_dead" not in got
+    for qid, want in exp.items():
+        have = got.get(qid, [])
+        assert [d for d, _ in have] == [d for d, _ in want], qid
+        np.testing.assert_allclose(
+            [s for _, s in have], [s for _, s in want], rtol=1e-9,
+            err_msg=qid,
+        )
+
+
+def test_batch_phrase_needs_positions(spark, tmp_path):
+    from datamart_spark.index import IndexCatalog, build_index
+    from datamart_spark.query import bm25_topk_batch
+
+    docs = spark.createDataFrame(
+        [(d, t, lg) for d, t, lg in DOCS], "doc_id long, text string, lang string"
+    )
+    cat = IndexCatalog(str(tmp_path / "plainb"))
+    build_index(docs, cat, stemming=False, resume=False, n_docs=len(DOCS))
+    with pytest.raises(ValueError, match="positional"):
+        bm25_topk_batch(
+            spark, cat, [{"query_id": "p", "query": "hash join", "phrase": True}]
+        )
+
+
 def test_stemmed_phrase(spark, tmp_path):
     """Positions with stemming: surface forms collapse to one stem and
     the phrase matches across forms ('joining tables' ~ 'join table')."""
