@@ -164,14 +164,36 @@ def _phrase_topk_from_terms(
     where position i matches some term of set i at p+i."""
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "score": pd.Series([], dtype="float64")})
-    if filter_ids is not None and filter_ids.size == 0:
+    occ = _phrase_occurrences(by_term, filter_ids, term_sets)
+    if occ is None:
         return empty
+    cand, dl_cand, running = occ
+    pf = np.bincount(running >> 33, minlength=cand.size).astype(np.float64)
+
+    hit = pf > 0
+    pfh = pf[hit]
+    norm = K1 * (1.0 - B + B * dl_cand[hit] / avgdl)
+    score = idf_sum * pfh / (pfh + norm)
+    return _local_topk(cand[hit], score, k)
+
+
+def _phrase_occurrences(
+    by_term: dict[str, pd.DataFrame],
+    filter_ids: np.ndarray | None,
+    term_sets: list[list[str]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Candidate docs + phrase-occurrence keys of one shard.  Returns
+    (cand, dl_cand, running) where ``running`` holds one int64 key
+    ``local_doc·2^33 + (start_pos + m)`` per phrase occurrence, or
+    ``None`` when the shard cannot match."""
+    if filter_ids is not None and filter_ids.size == 0:
+        return None
     # per position: the subset of its terms present in this shard
     present_sets: list[list[str]] = []
     for ts in term_sets:
         here = [t for t in ts if t in by_term]
         if not here:
-            return empty  # no acceptable term for this position here
+            return None  # no acceptable term for this position here
         present_sets.append(here)
 
     def union_docs(ts: list[str], cand: np.ndarray | None) -> np.ndarray:
@@ -189,10 +211,10 @@ def _phrase_topk_from_terms(
         cand = cand[np.isin(cand, filter_ids)]
     for si in set_order[1:]:
         if cand.size == 0:
-            return empty
+            return None
         cand = cand[np.isin(cand, union_docs(present_sets[si], cand))]
     if cand.size == 0:
-        return empty
+        return None
 
     # 2. per-term candidate positions (terms may repeat across
     # positions — decode once each) + doclen fill from any present term
@@ -227,7 +249,7 @@ def _phrase_topk_from_terms(
     running = position_keys(0)
     for i in range(1, m):
         if running.size == 0:
-            return empty
+            return None
         keys_i = position_keys(i)
         loc = np.searchsorted(keys_i, running)
         loc_c = np.minimum(loc, max(keys_i.size - 1, 0))
@@ -235,14 +257,8 @@ def _phrase_topk_from_terms(
             running[keys_i[loc_c] == running] if keys_i.size else running[:0]
         )
     if running.size == 0:
-        return empty
-    pf = np.bincount(running >> 33, minlength=cand.size).astype(np.float64)
-
-    hit = pf > 0
-    pfh = pf[hit]
-    norm = K1 * (1.0 - B + B * dl_cand[hit] / avgdl)
-    score = idf_sum * pfh / (pfh + norm)
-    return _local_topk(cand[hit], score, k)
+        return None
+    return cand, dl_cand, running
 
 
 def bm25_phrase_topk(
@@ -288,6 +304,87 @@ def bm25_phrase_topk(
     return _run_positional(
         spark, catalog, term_sets, idf_sum, avgdl, k, lang, ts_lo, ts_hi
     )
+
+
+_SPANS_SCHEMA = "doc_id long, pos int"
+
+
+def phrase_spans(
+    spark: SparkSession,
+    catalog,
+    phrase: str,
+    lang: str | None = None,
+    ts_lo=None,
+    ts_hi=None,
+) -> DataFrame:
+    """Every occurrence of the exact phrase as (doc_id, pos) rows,
+    ``pos`` the 0-based token offset of the phrase's first term — the
+    passage-extraction primitive a training-data pipeline needs
+    (retrieve matching windows, not just ranked doc ids).  Same one
+    scan + one kernel pass as ``bm25_phrase_topk``; the kernel emits
+    the adjacency join's surviving start offsets instead of folding
+    them into phrase frequencies."""
+    snap = catalog.current_snapshot()
+    if not snap.get("positions", False):
+        raise ValueError(
+            "phrase queries need a positional index — rebuild with "
+            "build_index(..., positions=True)"
+        )
+    stemming = snap.get("stemming", True)
+    terms = analyze_str(phrase, StemCache() if stemming else None,
+                        tokenizer=snap.get("tokenizer", "simple"))
+    empty = spark.createDataFrame([], _SPANS_SCHEMA)
+    if not terms:
+        return empty
+    idfs = idf_map(spark, catalog, list(dict.fromkeys(terms)))
+    if len(idfs) < len(set(terms)):
+        return empty
+    term_sets = [[t] for t in terms]
+    m = len(term_sets)
+    mask = (1 << 33) - 1
+
+    postings = (
+        catalog.read_snapshot(spark, "postings")
+        .where(F.col("term").isin(sorted(set(terms))))
+        .select(*_PHRASE_COLS)
+    )
+    filtered = lang is not None or ts_lo is not None or ts_hi is not None
+
+    def emit(post_pdf: pd.DataFrame, fids: np.ndarray | None) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                  "pos": pd.Series([], dtype="int32")})
+        if post_pdf.empty:
+            return out_empty
+        by_term = dict(tuple(post_pdf.groupby("term", sort=False)))
+        occ = _phrase_occurrences(by_term, fids, term_sets)
+        if occ is None:
+            return out_empty
+        cand, _, running = occ
+        return pd.DataFrame({
+            "doc_id": cand[(running >> 33)].astype(np.int64),
+            "pos": ((running & mask) - m).astype(np.int32),
+        })
+
+    if not filtered:
+        def kernel(post_pdf: pd.DataFrame) -> pd.DataFrame:
+            return emit(post_pdf, None)
+
+        local = postings.groupby("shard").applyInPandas(
+            kernel, schema=_SPANS_SCHEMA
+        )
+    else:
+        ds = _filtered_doc_ids(spark, catalog, lang, ts_lo, ts_hi)
+
+        def kernel2(key, post_pdf, docs_pdf):
+            fids = np.sort(docs_pdf["doc_id"].to_numpy().astype(np.uint64))
+            return emit(post_pdf, fids)
+
+        local = (
+            postings.groupby("shard")
+            .cogroup(ds.groupby("shard"))
+            .applyInPandas(kernel2, schema=_SPANS_SCHEMA)
+        )
+    return local.orderBy("doc_id", "pos")
 
 
 def _run_positional(

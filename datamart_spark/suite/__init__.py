@@ -92,6 +92,7 @@ from . import spatial  # noqa: E402,F401
 _TAIL = [
     "bm25_single_term",  # same bm25_direct path gated by bm25_two_term_and + bm25_lang_filtered
     "mean_stddev_pop",  # avg+stddev_pop exprs gated by numeric_profile_lineitem
+    "distinct_counts",  # count_distinct agg gated by profile_columns_documents
     "bm25_or_mode",  # OR semantics still gated by bm25_batch_topk's OR member
     "bm25_indexed_or",  # OR block-max kernel gated by bm25_batch_topk (same kernel code)
     "doc_length_top",  # doc-stat scan gated by term_stats_top / indexed_term_stats_top

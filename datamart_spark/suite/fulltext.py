@@ -663,6 +663,29 @@ def bm25_phrase_prefix(spark, sf_dir):
     )
 
 
+@register(
+    "phrase_spans",
+    f"""
+WITH tokp AS ({_TOKP_SQL})
+SELECT t0.doc_id AS doc_id, (t0.ord - 1)::int AS pos
+FROM tokp t0
+  JOIN tokp t1 ON t1.doc_id = t0.doc_id AND t1.ord = t0.ord + 1
+             AND t1.term = 'hash'
+WHERE t0.term = 'table'
+ORDER BY t0.doc_id, pos
+""",
+)
+def phrase_spans_entry(spark, sf_dir):
+    """Passage extraction: every occurrence of the phrase as
+    (doc_id, 0-based token offset) — the retrieve-matching-windows
+    primitive of a training-data pipeline, served from the positional
+    index's adjacency kernel (query/phrase.py phrase_spans)."""
+    from ..query.phrase import phrase_spans
+
+    cat = _suite_catalog(spark, sf_dir)
+    return phrase_spans(spark, cat, "table hash")
+
+
 @register("bm25_cross_fields_and", _cross_fields_sql(["data", "spark"]))
 def bm25_cross_fields_and(spark, sf_dir):
     """P1/R1 exact form: cross_fields multi_match (blended df, dismax

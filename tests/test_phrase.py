@@ -275,6 +275,44 @@ def test_phrase_prefix_absent_fixed_term(spark, pos_catalog):
     ).count() == 0
 
 
+def _brute_spans(phrase, lang=None):
+    terms = phrase.split()
+    out = []
+    for d, text, dl_lang in DOCS:
+        if lang is not None and dl_lang != lang:
+            continue
+        tk = _toks(text)
+        for i in range(len(tk) - len(terms) + 1):
+            if tk[i : i + len(terms)] == terms:
+                out.append((d, i))
+    return out
+
+
+@pytest.mark.parametrize(
+    "phrase", ["hash join", "hash join hash", "sort merge join", "hash"]
+)
+def test_phrase_spans_matches_bruteforce(spark, pos_catalog, phrase):
+    from datamart_spark.query import phrase_spans
+
+    got = [
+        (r["doc_id"], r["pos"])
+        for r in phrase_spans(spark, pos_catalog, phrase).collect()
+    ]
+    assert got == _brute_spans(phrase)
+
+
+def test_phrase_spans_filtered_and_empty(spark, pos_catalog):
+    from datamart_spark.query import phrase_spans
+
+    got = [
+        (r["doc_id"], r["pos"])
+        for r in phrase_spans(spark, pos_catalog, "hash join", lang="de").collect()
+    ]
+    assert got == _brute_spans("hash join", lang="de")
+    assert phrase_spans(spark, pos_catalog, "join merge").count() == 0
+    assert phrase_spans(spark, pos_catalog, "zzznotaword").count() == 0
+
+
 def test_batch_with_phrase_specs(spark, pos_catalog):
     """A heterogeneous batch mixing keyword AND/OR, exact-phrase,
     phrase-prefix and a lang-filtered phrase is rank-identical to the

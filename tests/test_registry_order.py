@@ -20,6 +20,7 @@ SOLE_GATES = [
     "admin_area_profile",  # §1.2 AdministrativeArea rule (round 5)
     "bm25_phrase_indexed",  # positional postings + phrase kernel (round 6)
     "bm25_phrase_prefix",  # term-set (MultiPhraseQuery) kernel + prefix expansion (round 6)
+    "phrase_spans",  # occurrence/offset extraction over positions (round 6)
 ]
 
 
