@@ -72,7 +72,10 @@ def bm25_topk_batch(
     semantics) or ``phrase_prefix: True`` (last token expands,
     match_phrase_prefix) — those need a positional index, and their
     position payload rides the same single scan (``pos_vb`` is added to
-    the selected columns only when the batch contains one).
+    the selected columns only when the batch contains one).  A
+    positional spec may add ``slop`` (int ≥ 0, default 0): ordered
+    proximity with Lucene's 1/(gap+1) weighting, exactly
+    ``bm25_phrase_topk(slop=...)``.
 
     Returns (query_id, doc_id, score), each query's rows ordered
     (score desc, doc_id asc), ≤ k rows per query; queries with no
@@ -101,8 +104,9 @@ def bm25_topk_batch(
     empty = spark.createDataFrame([], _BATCH_RESULT_SCHEMA)
     analyzed: list[tuple[str, list[str], bool, tuple]] = []
     # positional specs: (query_id, term_sets, ordered phrase terms
-    # incl. expansions for the idf sum, ctx) — resolved after idf fetch
-    phrased: list[tuple[str, list[list[str]], list[str], tuple]] = []
+    # incl. expansions for the idf sum, ctx, slop) — resolved after
+    # the idf fetch
+    phrased: list[tuple[str, list[list[str]], list[str], tuple, int]] = []
     all_terms: set[str] = set()
     any_positional = any(
         q.get("phrase") or q.get("phrase_prefix") for q in queries
@@ -114,6 +118,16 @@ def bm25_topk_batch(
         )
     for q in queries:
         ctx = (q.get("lang"), q.get("ts_lo"), q.get("ts_hi"))
+        slop = int(q.get("slop", 0))
+        if slop and not (q.get("phrase") or q.get("phrase_prefix")):
+            raise ValueError(
+                f"query_id {q['query_id']!r}: slop is only valid on "
+                "phrase/phrase_prefix specs"
+            )
+        if slop < 0:
+            raise ValueError(
+                f"query_id {q['query_id']!r}: slop must be >= 0, got {slop}"
+            )
         if q.get("phrase") or q.get("phrase_prefix"):
             from ..analyzer import StemCache, analyze_str
             from .phrase import expand_prefix
@@ -143,7 +157,9 @@ def bm25_topk_batch(
                     continue
                 term_sets = [[t] for t in terms]
                 idf_terms = terms
-            phrased.append((str(q["query_id"]), term_sets, idf_terms, ctx))
+            phrased.append(
+                (str(q["query_id"]), term_sets, idf_terms, ctx, slop)
+            )
             all_terms.update(t for ts in term_sets for t in ts)
             continue
         terms = analyze_query(q["query"], stemming=stemming, tokenizer=tokenizer)
@@ -178,8 +194,8 @@ def bm25_topk_batch(
     # positional specs: a singleton position's term with df=0 kills the
     # query (same as AND); a multi-term position (prefix expansion set)
     # keeps its df>0 members
-    pspecs: list[tuple[str, list[list[str]], float, int | None]] = []
-    for qid, term_sets, idf_terms, ctx in phrased:
+    pspecs: list[tuple[str, list[list[str]], float, int | None, int]] = []
+    for qid, term_sets, idf_terms, ctx, slop in phrased:
         kept_sets = []
         dead = False
         for ts in term_sets:
@@ -200,13 +216,13 @@ def bm25_topk_batch(
         cid = None
         if ctx != (None, None, None):
             cid = ctx_ids.setdefault(ctx, len(ctx_ids))
-        pspecs.append((qid, kept_sets, idf_sum, cid))
+        pspecs.append((qid, kept_sets, idf_sum, cid, slop))
     if not specs and not pspecs:
         return empty
 
     union_terms = sorted(
         {t for _, terms, _, _, _ in specs for t in terms}
-        | {t for _, sets, _, _ in pspecs for ts in sets for t in ts}
+        | {t for _, sets, _, _, _ in pspecs for ts in sets for t in ts}
     )
     scan_cols = list(_POSTING_COLS)
     if pspecs:
@@ -250,12 +266,12 @@ def bm25_topk_batch(
         if pspecs:
             from .phrase import _phrase_topk_from_terms
 
-            for qid, term_sets, idf_sum, cid in pspecs:
+            for qid, term_sets, idf_sum, cid, slop in pspecs:
                 fids = None
                 if cid is not None:
                     fids = fids_by_ctx.get(cid, _empty_fids)
                 r = _phrase_topk_from_terms(
-                    by_term, fids, term_sets, idf_sum, avgdl, k
+                    by_term, fids, term_sets, idf_sum, avgdl, k, slop=slop
                 )
                 if len(r):
                     r = r.copy()

@@ -1,5 +1,5 @@
-"""Exact phrase top-k over a positional index (Lucene match_phrase
-semantics, slop=0).
+"""Phrase top-k over a positional index: exact (Lucene match_phrase,
+slop=0) and ordered proximity (span_near in_order=true, slop>0).
 
 The reference exposes keyword AND/OR matching only (its fulltext layer
 is Elasticsearch `multi_match`, apiserver/apiserver/search/__init__.py:
@@ -31,6 +31,16 @@ occurrence becomes a key ``local_doc·2^33 + (pos − i + m)``; the keys
 of position 0 are successively intersected (sorted searchsorted) with
 each later position's keys, and surviving keys bincount into per-doc
 phrase frequencies.  No per-row python anywhere (north rule §2.10).
+
+``slop > 0`` switches the kernel to ordered proximity
+(``_slop_matches``): per position-0 occurrence, a greedy vectorized
+next-offset chain finds the minimal in-order completion; matches with
+gap ≤ slop each contribute Lucene's 1/(gap+1) slop factor to the
+weighted phrase frequency.  This is span_near(in_order=true) — NOT
+ES match_phrase's sloppy mode, which also admits reordered terms
+(transpositions cost 2); the in-order form is the documented choice
+because its greedy chain is provably minimal per start and stays one
+vectorized pass.
 """
 
 from __future__ import annotations
@@ -131,6 +141,7 @@ def _phrase_topk_shard(
     idf_sum: float,
     avgdl: float,
     k: int,
+    slop: int = 0,
 ) -> pd.DataFrame:
     """Top-k of one shard for a positional sequence query (groups the
     shard's posting rows by term, then delegates)."""
@@ -140,7 +151,7 @@ def _phrase_topk_shard(
         return empty
     by_term = dict(tuple(post.groupby("term", sort=False)))
     return _phrase_topk_from_terms(
-        by_term, filter_ids, term_sets, idf_sum, avgdl, k
+        by_term, filter_ids, term_sets, idf_sum, avgdl, k, slop=slop
     )
 
 
@@ -151,6 +162,7 @@ def _phrase_topk_from_terms(
     idf_sum: float,
     avgdl: float,
     k: int,
+    slop: int = 0,
 ) -> pd.DataFrame:
     """Core of one shard's positional top-k over an already-grouped
     term → posting-rows map (the batch kernel calls this directly,
@@ -161,14 +173,27 @@ def _phrase_topk_from_terms(
     at the last position for match_phrase_prefix (the Lucene
     MultiPhraseQuery shape).  A document is a candidate iff for EVERY
     position at least one of its terms is present; pf counts offsets p
-    where position i matches some term of set i at p+i."""
+    where position i matches some term of set i at p+i.
+
+    ``slop > 0`` scores ordered proximity matches instead: pf becomes
+    the sum of 1/(gap+1) over position-0 occurrences whose greedy
+    in-order completion spans ≤ slop extra tokens (``_slop_matches``)."""
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "score": pd.Series([], dtype="float64")})
-    occ = _phrase_occurrences(by_term, filter_ids, term_sets)
-    if occ is None:
-        return empty
-    cand, dl_cand, running = occ
-    pf = np.bincount(running >> 33, minlength=cand.size).astype(np.float64)
+    if slop > 0:
+        sm = _slop_matches(by_term, filter_ids, term_sets, slop)
+        if sm is None:
+            return empty
+        cand, dl_cand, doc_local, weights = sm
+        pf = np.bincount(doc_local, weights=weights, minlength=cand.size)
+    else:
+        occ = _phrase_occurrences(by_term, filter_ids, term_sets)
+        if occ is None:
+            return empty
+        cand, dl_cand, running = occ
+        pf = np.bincount(
+            running >> 33, minlength=cand.size
+        ).astype(np.float64)
 
     hit = pf > 0
     pfh = pf[hit]
@@ -177,15 +202,17 @@ def _phrase_topk_from_terms(
     return _local_topk(cand[hit], score, k)
 
 
-def _phrase_occurrences(
+def _gather_positions(
     by_term: dict[str, pd.DataFrame],
     filter_ids: np.ndarray | None,
     term_sets: list[list[str]],
-) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
-    """Candidate docs + phrase-occurrence keys of one shard.  Returns
-    (cand, dl_cand, running) where ``running`` holds one int64 key
-    ``local_doc·2^33 + (start_pos + m)`` per phrase occurrence, or
-    ``None`` when the shard cannot match."""
+) -> tuple[np.ndarray, np.ndarray, list[list[str]],
+           dict[str, tuple[np.ndarray, np.ndarray]]] | None:
+    """Shared front half of every positional-sequence kernel: candidate
+    docs (present in EVERY position's term set, post-filter) plus the
+    decoded (local_doc, position) pairs of each surviving term.
+    Returns (cand, dl_cand, present_sets, keys_of) or None when the
+    shard cannot match."""
     if filter_ids is not None and filter_ids.size == 0:
         return None
     # per position: the subset of its terms present in this shard
@@ -218,7 +245,6 @@ def _phrase_occurrences(
 
     # 2. per-term candidate positions (terms may repeat across
     # positions — decode once each) + doclen fill from any present term
-    m = len(term_sets)
     keys_of: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     dl_cand = np.zeros(cand.size, dtype=np.float64)
     for t in {t for ts in present_sets for t in ts}:
@@ -235,6 +261,23 @@ def _phrase_occurrences(
             np.flatnonzero(has).astype(np.int64), counts
         )
         keys_of[t] = (doc_local, pos)
+    return cand, dl_cand, present_sets, keys_of
+
+
+def _phrase_occurrences(
+    by_term: dict[str, pd.DataFrame],
+    filter_ids: np.ndarray | None,
+    term_sets: list[list[str]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Candidate docs + phrase-occurrence keys of one shard.  Returns
+    (cand, dl_cand, running) where ``running`` holds one int64 key
+    ``local_doc·2^33 + (start_pos + m)`` per phrase occurrence, or
+    ``None`` when the shard cannot match."""
+    g = _gather_positions(by_term, filter_ids, term_sets)
+    if g is None:
+        return None
+    cand, dl_cand, present_sets, keys_of = g
+    m = len(term_sets)
 
     def position_keys(i: int) -> np.ndarray:
         parts = []
@@ -261,17 +304,88 @@ def _phrase_occurrences(
     return cand, dl_cand, running
 
 
+def _slop_matches(
+    by_term: dict[str, pd.DataFrame],
+    filter_ids: np.ndarray | None,
+    term_sets: list[list[str]],
+    slop: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None:
+    """Ordered proximity matches (span_near, in_order=true): for each
+    occurrence of a position-0 term, later positions greedily take
+    their SMALLEST matching offset strictly after the previous one —
+    optimal for a fixed start (exchange argument: the greedy next
+    offset minimizes the final span), so a start matches iff ANY
+    in-order completion has gap = span − (m−1) ≤ slop.  Each match
+    weighs 1/(gap+1) — Lucene's SloppyPhraseScorer slop factor — and
+    slop=0 degenerates to the exact-phrase count.  Returns
+    (cand, dl_cand, doc_local, weights) or None."""
+    g = _gather_positions(by_term, filter_ids, term_sets)
+    if g is None:
+        return None
+    cand, dl_cand, present_sets, keys_of = g
+    m = len(term_sets)
+
+    def raw_keys(i: int) -> np.ndarray:
+        parts = []
+        for t in present_sets[i]:
+            doc_t, pos_t = keys_of[t]
+            parts.append(doc_t * (1 << 33) + pos_t)
+        if len(parts) == 1:
+            return parts[0]  # already sorted (docs asc, pos asc)
+        return np.sort(np.concatenate(parts))  # one token per offset ⇒ unique
+
+    cur = raw_keys(0)
+    start = cur
+    for i in range(1, m):
+        if cur.size == 0:
+            return None
+        keys_i = raw_keys(i)
+        if keys_i.size == 0:
+            return None
+        # smallest key of position i strictly after cur, same doc.
+        # cur stays sorted: the next-after map is monotone nondecreasing.
+        idx = np.searchsorted(keys_i, cur, side="right")
+        ok = idx < keys_i.size
+        nxt = keys_i[np.minimum(idx, keys_i.size - 1)]
+        ok &= (nxt >> 33) == (cur >> 33)
+        cur, start = nxt[ok], start[ok]
+    if cur.size == 0:
+        return None
+    mask = (1 << 33) - 1
+    gap = (cur & mask) - (start & mask) - (m - 1)
+    keep = gap <= slop
+    if not keep.any():
+        return None
+    return (
+        cand,
+        dl_cand,
+        (start[keep] >> 33),
+        1.0 / (gap[keep].astype(np.float64) + 1.0),
+    )
+
+
 def bm25_phrase_topk(
     spark: SparkSession,
     catalog,
     phrase: str,
     k: int = 10,
+    slop: int = 0,
     lang: str | None = None,
     ts_lo=None,
     ts_hi=None,
 ) -> DataFrame:
-    """Exact-phrase BM25 top-k against a positional index
-    (``build_index(..., positions=True)``)."""
+    """Phrase BM25 top-k against a positional index
+    (``build_index(..., positions=True)``).
+
+    ``slop=0`` (default) is the exact phrase — Lucene match_phrase.
+    ``slop>0`` is ordered proximity — span_near(in_order=true): the
+    terms must appear in order with at most ``slop`` extra tokens
+    between first and last; each match weighs 1/(gap+1) into the
+    phrase frequency (Lucene's SloppyPhraseScorer slop factor).
+    Unlike ES match_phrase's slop, reordered terms never match — the
+    in-order semantics keep the kernel one vectorized greedy pass."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
     snap = catalog.current_snapshot()
     if not snap.get("positions", False):
         raise ValueError(
@@ -302,7 +416,8 @@ def bm25_phrase_topk(
 
     term_sets = [[t] for t in terms]
     return _run_positional(
-        spark, catalog, term_sets, idf_sum, avgdl, k, lang, ts_lo, ts_hi
+        spark, catalog, term_sets, idf_sum, avgdl, k, lang, ts_lo, ts_hi,
+        slop=slop,
     )
 
 
@@ -388,7 +503,8 @@ def phrase_spans(
 
 
 def _run_positional(
-    spark, catalog, term_sets, idf_sum, avgdl, k, lang, ts_lo, ts_hi
+    spark, catalog, term_sets, idf_sum, avgdl, k, lang, ts_lo, ts_hi,
+    slop: int = 0,
 ) -> DataFrame:
     """Shared execution of a positional sequence query: one pruned scan
     over the union of all positions' terms, per-shard kernel, global
@@ -404,7 +520,7 @@ def _run_positional(
     if not filtered:
         def kernel(post_pdf: pd.DataFrame) -> pd.DataFrame:
             return _phrase_topk_shard(
-                post_pdf, None, term_sets, idf_sum, avgdl, k
+                post_pdf, None, term_sets, idf_sum, avgdl, k, slop
             )
 
         local = postings.groupby("shard").applyInPandas(
@@ -416,7 +532,7 @@ def _run_positional(
         def kernel2(key, post_pdf, docs_pdf):
             fids = np.sort(docs_pdf["doc_id"].to_numpy().astype(np.uint64))
             return _phrase_topk_shard(
-                post_pdf, fids, term_sets, idf_sum, avgdl, k
+                post_pdf, fids, term_sets, idf_sum, avgdl, k, slop
             )
 
         local = (
@@ -451,6 +567,7 @@ def bm25_phrase_prefix_topk(
     phrase: str,
     k: int = 10,
     max_expansions: int = 50,
+    slop: int = 0,
     lang: str | None = None,
     ts_lo=None,
     ts_hi=None,
@@ -466,7 +583,10 @@ def bm25_phrase_prefix_topk(
     The prefix is lowercased but NOT stemmed — expansions match raw
     index terms (on a stemmed index they are stems), mirroring how ES
     keyword-expands against the term dictionary rather than analyzing
-    the fragment."""
+    the fragment.  ``slop`` as in ``bm25_phrase_topk`` (ordered
+    proximity; the expansion set is still the last position)."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
     snap = catalog.current_snapshot()
     if not snap.get("positions", False):
         raise ValueError(
@@ -507,5 +627,6 @@ def bm25_phrase_prefix_topk(
     else:
         term_sets = [[t] for t in fixed] + [expansions]
     return _run_positional(
-        spark, catalog, term_sets, idf_sum, avgdl, k, lang, ts_lo, ts_hi
+        spark, catalog, term_sets, idf_sum, avgdl, k, lang, ts_lo, ts_hi,
+        slop=slop,
     )

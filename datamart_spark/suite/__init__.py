@@ -91,6 +91,7 @@ from . import spatial  # noqa: E402,F401
 # round, so rotation never un-gates an operator locally.
 _TAIL = [
     "bm25_single_term",  # same bm25_direct path gated by bm25_two_term_and + bm25_lang_filtered
+    "bm25_indexed_lang_filtered",  # _filtered_doc_ids+cogroup path gated by bm25_batch_topk's lang member; P2 semantics by bm25_lang_filtered
     "mean_stddev_pop",  # avg+stddev_pop exprs gated by numeric_profile_lineitem
     "distinct_counts",  # count_distinct agg gated by profile_columns_documents
     "bm25_or_mode",  # OR semantics still gated by bm25_batch_topk's OR member

@@ -590,6 +590,83 @@ def bm25_phrase_indexed(spark, sf_dir):
     )
 
 
+def _phrase_slop_sql(terms: list[str], slop: int, k: int = 10) -> str:
+    """Ordered-proximity (span_near in_order=true) scoring in ANSI SQL,
+    mirroring query/phrase.py ``_slop_matches`` exactly: per position-0
+    occurrence, each later position takes its SMALLEST ordinal strictly
+    after the previous one (a chain of min-aggregating joins — greedy is
+    optimal for a fixed start, so the start matches iff the greedy
+    completion's gap = span − (m−1) ≤ slop); each match weighs
+    1/(gap+1) into pf (Lucene's SloppyPhraseScorer slop factor); idf
+    sums the phrase's positions like the exact-phrase oracle."""
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    values = ", ".join(f"('{t}')" for t in terms)
+    m = len(terms)
+    chain = [
+        f"s0 AS (SELECT doc_id, ord AS p0 FROM tokp WHERE term = '{terms[0]}')"
+    ]
+    for i, t in enumerate(terms[1:], start=1):
+        carry = ", ".join(["s.doc_id", "s.p0"] + (
+            [f"s.p{i-1}"] if i > 1 else []
+        ))
+        chain.append(
+            f"s{i} AS (SELECT s.doc_id, s.p0, min(t.ord) AS p{i}\n"
+            f"  FROM s{i-1} s JOIN tokp t ON t.doc_id = s.doc_id\n"
+            f"   AND t.ord > s.p{i-1} AND t.term = '{t}'\n"
+            f"  GROUP BY {carry})"
+        )
+    chain_sql = ",\n".join(chain)
+    return f"""
+WITH tokp AS ({_TOKP_SQL}),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM tokp GROUP BY 1),
+stats AS (SELECT (SELECT count(*)::double FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+idf_terms AS (SELECT term,
+    ln(1 + ((SELECT n FROM stats) - count(DISTINCT doc_id)::double + 0.5)
+           / (count(DISTINCT doc_id)::double + 0.5)) AS i
+  FROM tokp WHERE term IN ({tl}) GROUP BY term),
+phrase_pos (term) AS (VALUES {values}),
+idf AS (SELECT sum(i) AS idf_sum FROM phrase_pos JOIN idf_terms USING (term)),
+{chain_sql},
+pf AS (SELECT doc_id, sum(1.0 / (p{m-1} - p0 - {m-2})) AS pf
+  FROM s{m-1} WHERE p{m-1} - p0 - {m-1} <= {slop} GROUP BY 1)
+SELECT pf.doc_id,
+       round((SELECT idf_sum FROM idf) * pf.pf
+             / (pf.pf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))), 4) AS score
+FROM pf JOIN dl USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@register("bm25_phrase_slop", _phrase_slop_sql(["scan", "sort", "key"], 4))
+def bm25_phrase_slop(spark, sf_dir):
+    """Ordered proximity search: 'scan sort key' within slop 4
+    (span_near in_order=true, 1/(gap+1) weighting).  The exact phrase
+    matches ZERO documents at every test SF — the slop kernel
+    (query/phrase.py _slop_matches greedy chain) does all the work, and
+    the m=3 chain exercises the iterated next-offset step.  Same margin
+    discipline as ``_indexed_topk``."""
+    from ..query.phrase import bm25_phrase_topk
+
+    cat = _suite_catalog(spark, sf_dir)
+    k = 10
+    for margin in (100, 1000):
+        pool = bm25_phrase_topk(
+            spark, cat, "scan sort key", k=k + margin, slop=4
+        ).collect()
+        if len(pool) < k + margin:
+            break
+        scores = sorted((r["score"] for r in pool), reverse=True)
+        if scores[-1] <= scores[k - 1] - 2e-4:
+            break
+    return (
+        spark.createDataFrame(pool, "doc_id long, score double")
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def _phrase_prefix_sql(
     fixed: list[str], prefix: str, k: int = 10, max_expansions: int = 50
 ) -> str:

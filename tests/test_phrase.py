@@ -388,3 +388,185 @@ def test_stemmed_phrase(spark, tmp_path):
                 positions=True)
     got = _run(spark, cat, "join table")
     assert [d for d, _ in got] == [0, 1]
+
+
+# --- ordered proximity (slop > 0) --------------------------------------------
+
+
+def _brute_slop(term_sets, idf_terms, slop, k=10, lang=None):
+    """span_near(in_order=true) oracle: per position-0 occurrence, the
+    greedy smallest next offset per later position; matched iff the
+    completion's gap = span − (m−1) ≤ slop, each match weighing
+    1/(gap+1) into pf (Lucene SloppyPhraseScorer slop factor).
+    ``term_sets[i]``: acceptable terms at position i."""
+    n = len(DOCS)
+    toks = {d: _toks(t) for d, t, _ in DOCS}
+    df = {
+        t: sum(1 for d in toks if t in toks[d])
+        for t in {t for ts in term_sets for t in ts} | set(idf_terms)
+    }
+    if any(all(df[t] == 0 for t in ts) for ts in term_sets):
+        return []
+    idf_sum = sum(
+        math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+        for t in idf_terms
+        if df[t] > 0
+    )
+    avgdl = sum(len(v) for v in toks.values()) / n
+    m = len(term_sets)
+    out = []
+    for d, text, dl_lang in DOCS:
+        if lang is not None and dl_lang != lang:
+            continue
+        tk = toks[d]
+        pf = 0.0
+        for p0, tok in enumerate(tk):
+            if tok not in term_sets[0]:
+                continue
+            prev, ok = p0, True
+            for ts in term_sets[1:]:
+                nxt = next(
+                    (j for j in range(prev + 1, len(tk)) if tk[j] in ts), None
+                )
+                if nxt is None:
+                    ok = False
+                    break
+                prev = nxt
+            if ok:
+                gap = prev - p0 - (m - 1)
+                if gap <= slop:
+                    pf += 1.0 / (gap + 1)
+        if pf:
+            dl = len(tk)
+            s = idf_sum * pf / (pf + K1 * (1 - B + B * dl / avgdl))
+            out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize(
+    ("phrase", "slop"),
+    [
+        ("hash join", 1),       # admits 'hash ... join' one apart
+        ("hash join", 3),       # wider window, weighted 1/(gap+1)
+        ("join table", 2),      # crosses 'hash' in doc 2
+        ("sort join", 2),       # never adjacent, only sloppy matches
+        ("merge join", 4),      # far apart in doc 4
+        ("hash join hash", 2),  # m=3 greedy chain with repeats
+        ("merge hash runs", 5), # m=3 spanning most of doc 0
+    ],
+)
+def test_slop_matches_bruteforce(spark, pos_catalog, phrase, slop):
+    got = _run(spark, pos_catalog, phrase, slop=slop)
+    terms = phrase.split()
+    exp = _brute_slop([[t] for t in terms], terms, slop)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in exp], rtol=1e-9
+    )
+
+
+def test_slop_degenerates_to_exact_on_adjacent_matches(spark, pos_catalog):
+    """When every in-order match is exactly adjacent (gap 0, weight 1),
+    any slop gives the exact-phrase scores — the 1/(gap+1) weighting
+    and greedy chain must not perturb the degenerate case."""
+    exact = _run(spark, pos_catalog, "merge sort")
+    sloppy = _run(spark, pos_catalog, "merge sort", slop=5)
+    assert [d for d, _ in exact] == [d for d, _ in sloppy]
+    np.testing.assert_allclose(
+        [s for _, s in exact], [s for _, s in sloppy], rtol=1e-9
+    )
+
+
+def test_slop_is_ordered_only(spark, pos_catalog):
+    """'beats merge' never appears in order even though both terms are
+    in doc 0 — span_near(in_order=true) must NOT match reversed terms
+    (the documented divergence from ES match_phrase slop)."""
+    assert _run(spark, pos_catalog, "beats merge", slop=0) == []
+    assert _run(spark, pos_catalog, "beats merge", slop=1) == []
+    # the forward order matches once slop covers the gap
+    assert _run(spark, pos_catalog, "merge beats", slop=1) != []
+
+
+def test_slop_lang_filter(spark, pos_catalog):
+    got = _run(spark, pos_catalog, "join table", slop=3, lang="de")
+    exp = _brute_slop([["join"], ["table"]], ["join", "table"], 3, lang="de")
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in exp], rtol=1e-9
+    )
+
+
+def test_slop_validation(spark, pos_catalog):
+    from datamart_spark.query import bm25_phrase_prefix_topk, bm25_topk_batch
+
+    with pytest.raises(ValueError, match="slop"):
+        bm25_phrase_topk(spark, pos_catalog, "hash join", slop=-1)
+    with pytest.raises(ValueError, match="slop"):
+        bm25_phrase_prefix_topk(spark, pos_catalog, "hash j", slop=-2)
+    with pytest.raises(ValueError, match="slop"):
+        bm25_topk_batch(
+            spark, pos_catalog,
+            [{"query_id": "x", "query": "hash join", "slop": 2}],
+        )
+
+
+def test_prefix_with_slop_matches_bruteforce(spark, pos_catalog):
+    """slop composes with the last-position expansion set: greedy takes
+    the smallest next offset matching ANY expansion."""
+    from datamart_spark.query import bm25_phrase_prefix_topk
+    from datamart_spark.query.phrase import expand_prefix
+
+    exp_terms = expand_prefix(spark, pos_catalog, "j")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_phrase_prefix_topk(
+            spark, pos_catalog, "hash j", slop=2
+        ).collect()
+    ]
+    exp = _brute_slop([["hash"], exp_terms], ["hash"] + exp_terms, 2)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in exp], rtol=1e-9
+    )
+
+
+def test_batch_slop_rank_identical(spark, pos_catalog):
+    """A batch mixing exact, sloppy and filtered-sloppy phrase specs is
+    rank-identical to the single-query engine, per query."""
+    from datamart_spark.query import bm25_topk_batch
+
+    specs = [
+        {"query_id": "exact", "query": "hash join", "phrase": True},
+        {"query_id": "s1", "query": "hash join", "phrase": True, "slop": 1},
+        {"query_id": "s3", "query": "hash join", "phrase": True, "slop": 3},
+        {"query_id": "s_de", "query": "join table", "phrase": True,
+         "slop": 3, "lang": "de"},
+        {"query_id": "pp_s", "query": "hash j", "phrase_prefix": True,
+         "slop": 2},
+    ]
+    got = {}
+    for r in bm25_topk_batch(spark, pos_catalog, specs, k=10).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+
+    from datamart_spark.query import bm25_phrase_prefix_topk
+
+    exp = {
+        "exact": _run(spark, pos_catalog, "hash join"),
+        "s1": _run(spark, pos_catalog, "hash join", slop=1),
+        "s3": _run(spark, pos_catalog, "hash join", slop=3),
+        "s_de": _run(spark, pos_catalog, "join table", slop=3, lang="de"),
+        "pp_s": [
+            (r["doc_id"], r["score"])
+            for r in bm25_phrase_prefix_topk(
+                spark, pos_catalog, "hash j", slop=2
+            ).collect()
+        ],
+    }
+    for qid, want in exp.items():
+        have = got.get(qid, [])
+        assert [d for d, _ in have] == [d for d, _ in want], qid
+        np.testing.assert_allclose(
+            [s for _, s in have], [s for _, s in want], rtol=1e-9,
+            err_msg=qid,
+        )

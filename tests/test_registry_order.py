@@ -21,6 +21,7 @@ SOLE_GATES = [
     "bm25_phrase_indexed",  # positional postings + phrase kernel (round 6)
     "bm25_phrase_prefix",  # term-set (MultiPhraseQuery) kernel + prefix expansion (round 6)
     "phrase_spans",  # occurrence/offset extraction over positions (round 6)
+    "bm25_phrase_slop",  # ordered-proximity greedy chain kernel (round 6)
 ]
 
 
