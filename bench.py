@@ -76,6 +76,8 @@ HEADLINE = [
     "bm25_two_term_and",
     "bm25_indexed_and",
     "bm25_batch_topk",
+    "bm25_phrase_indexed",
+    "bm25_phrase_slop",
     "bm25_lang_filtered",
     "term_stats_top",
     "dedup_exact",
