@@ -122,13 +122,23 @@ ENVELOPE_FACTOR = float(os.environ.get("SPARK_GRAFT_ENV_FACTOR", "1.5"))
 ENVELOPE_APPLIES = (N_DOCS == 200_000 and ROBUST_DOCS == 500_000)
 
 
-def _session(cpus: int, name: str):
+def _session(cpus: int, name: str, query_only: bool = False):
     from datamart_spark.session import get_spark
 
+    extra = None
+    if query_only:
+        # Query-only sessions never read a raw corpus, so the factory's
+        # small maxPartitionBytes (input-split parallelism for builds)
+        # only fragments the per-shard postings files into ~10 splits
+        # each — every split pays a parquet footer open.  Shard-file-
+        # sized splits measured −20% single-query p50 at 5M docs
+        # (index/catalog.py read_snapshot note).
+        extra = {"spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024)}
     return get_spark(
         name,
         master=f"local[{cpus}]",
         shuffle_partitions=2 * cpus,
+        extra_conf=extra,
     )
 
 
@@ -245,7 +255,7 @@ def query_p50(cpus: int, index_cpus: int = HIGH_CPUS,
     from datamart_spark.index import IndexCatalog
     from datamart_spark.query import bm25_topk_batch, bm25_topk_blockmax
 
-    spark = _session(cpus, "bench_query")
+    spark = _session(cpus, "bench_query", query_only=True)
     catalog = IndexCatalog(index_root or f"{WORK_DIR}_{index_cpus}")
     queries = generate_queries()
     lat = []

@@ -531,7 +531,27 @@ class IndexCatalog:
         if df is None:
             if len(self._df_cache) > 16:
                 self._df_cache.clear()
-            df = self._df_cache[key] = self.read(spark, name)
+            df = self.read(spark, name)
+            if name == "postings" and snap and snap.get("n_shards"):
+                # Cap the scan at one task per shard file.  The
+                # compacted postings table is one ~shard-sized file per
+                # shard (2 MB row groups inside); a small session
+                # maxPartitionBytes — tuned for corpus INPUT splits —
+                # slices each into ~10 splits, i.e. ~10× n_shards scan
+                # tasks per query, most pruning to zero row groups.
+                # coalesce merges splits without a shuffle and Catalyst
+                # still pushes term filters below it (plan-asserted).
+                # Measured at 5M/40 shards: local p50 is NEUTRAL (the
+                # per-split parquet footer open dominates and coalesce
+                # keeps one reader per split) — the win is scheduler
+                # pressure at cluster scale (400→40 task launches per
+                # query).  The latency lever is split size itself:
+                # maxPartitionBytes ≥ shard file size measured −20%
+                # p50 (kw 0.97→0.80 s, ph 1.21→0.95 s); query-only
+                # sessions set spark.sql.files.maxPartitionBytes via
+                # get_spark(extra_conf=...), making this a no-op.
+                df = df.coalesce(int(snap["n_shards"]))
+            self._df_cache[key] = df
         return df
 
     def exists(self, name: str) -> bool:

@@ -227,3 +227,26 @@ def test_batch_query_filtered_plan_shape(spark, catalog):
     assert "lang" in plan, plan
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_postings_scan_capped_at_one_task_per_shard(spark, catalog):
+    """read_snapshot('postings') coalesces the scan to n_shards: a
+    small maxPartitionBytes (the factory's input-split tuning) must not
+    fan a query's postings scan out to ~10 scheduling-only tasks per
+    shard file.  Term filters still reach the source below the
+    Coalesce (pushdown asserted on the same handle)."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    prev = conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        catalog._df_cache.clear()
+        post = catalog.read_snapshot(spark, "postings")
+        n_shards = catalog.current_snapshot()["n_shards"]
+        assert post.rdd.getNumPartitions() <= n_shards
+        plan = _plan(post.where(F.col("term") == "zzz").select("term"))
+        assert "PushedFilters: [IsNotNull(term), EqualTo(term,zzz)]" in plan, plan
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", prev)
+        catalog._df_cache.clear()
