@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..index.catalog import IndexCatalog
 from .batch import bm25_topk_batch
+from .phrase import bm25_phrase_topk
 from .wand import bm25_topk_blockmax
 
 TOP_K_SIZE = 50  # reference search/base.py:1
@@ -52,12 +53,29 @@ def search(
     ts_lo=None,
     ts_hi=None,
     or_mode: bool = False,
+    phrase: bool = False,
+    slop: int = 0,
 ) -> DataFrame:
-    """Ranked search returning (doc_id, url, lang, warc_ts, score)."""
-    hits = bm25_topk_blockmax(
-        spark, catalog, query, k=k, lang=lang, ts_lo=ts_lo, ts_hi=ts_hi,
-        or_mode=or_mode,
-    )
+    """Ranked search returning (doc_id, url, lang, warc_ts, score).
+
+    ``phrase=True`` treats ``query`` as an ordered token sequence
+    against a positional index (``slop`` extra tokens allowed between
+    first and last, Lucene 1/(gap+1) weighting — see
+    ``bm25_phrase_topk``); ``or_mode`` is keyword-only."""
+    if phrase:
+        if or_mode:
+            raise ValueError("or_mode does not apply to phrase queries")
+        hits = bm25_phrase_topk(
+            spark, catalog, query, k=k, slop=slop, lang=lang,
+            ts_lo=ts_lo, ts_hi=ts_hi,
+        )
+    elif slop:
+        raise ValueError("slop requires phrase=True")
+    else:
+        hits = bm25_topk_blockmax(
+            spark, catalog, query, k=k, lang=lang, ts_lo=ts_lo, ts_hi=ts_hi,
+            or_mode=or_mode,
+        )
     meta_cols = [
         c for c in ("url", "lang", "warc_ts")
         if c in catalog.read(spark, "doc_stats").columns

@@ -570,3 +570,21 @@ def test_batch_slop_rank_identical(spark, pos_catalog):
             [s for _, s in have], [s for _, s in want], rtol=1e-9,
             err_msg=qid,
         )
+
+
+def test_search_facade_phrase(spark, pos_catalog):
+    """search(phrase=True, slop=...) hydrates phrase hits exactly like
+    keyword hits and rejects contradictory flags."""
+    from datamart_spark.query.search import search
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search(spark, pos_catalog, "hash join", k=10,
+                        phrase=True, slop=2).collect()
+    ]
+    exp = _run(spark, pos_catalog, "hash join", slop=2)
+    assert got == exp
+    with pytest.raises(ValueError, match="or_mode"):
+        search(spark, pos_catalog, "hash join", phrase=True, or_mode=True)
+    with pytest.raises(ValueError, match="phrase"):
+        search(spark, pos_catalog, "hash join", slop=2)
