@@ -3,6 +3,7 @@ from .bm25 import bm25_topk_dataframe  # noqa: F401
 from .phrase import (  # noqa: F401
     bm25_phrase_prefix_topk,
     bm25_phrase_topk,
+    passages,
     phrase_spans,
 )
 from .search import search, search_many  # noqa: F401

@@ -439,6 +439,21 @@ def phrase_spans(
     scan + one kernel pass as ``bm25_phrase_topk``; the kernel emits
     the adjacency join's surviving start offsets instead of folding
     them into phrase frequencies."""
+    return _phrase_spans_df(
+        spark, catalog, phrase, lang, ts_lo, ts_hi
+    ).orderBy("doc_id", "pos")
+
+
+def _phrase_spans_df(
+    spark: SparkSession,
+    catalog,
+    phrase: str,
+    lang: str | None = None,
+    ts_lo=None,
+    ts_hi=None,
+) -> DataFrame:
+    """``phrase_spans`` without the final global sort — the join-side
+    form ``passages`` consumes."""
     snap = catalog.current_snapshot()
     if not snap.get("positions", False):
         raise ValueError(
@@ -499,7 +514,68 @@ def phrase_spans(
             .cogroup(ds.groupby("shard"))
             .applyInPandas(kernel2, schema=_SPANS_SCHEMA)
         )
-    return local.orderBy("doc_id", "pos")
+    return local
+
+
+_PASSAGE_SCHEMA = "doc_id long, pos int, passage string"
+
+
+def passages(
+    spark: SparkSession,
+    catalog,
+    docs: DataFrame,
+    phrase: str,
+    window: int = 10,
+    lang: str | None = None,
+    ts_lo=None,
+    ts_hi=None,
+) -> DataFrame:
+    """Every occurrence of the exact phrase as a context window of
+    surface text: (doc_id, pos, passage) where ``passage`` is the
+    ``window`` tokens either side of the match, space-joined — the
+    retrieve-matching-windows-with-context primitive of a training-data
+    pipeline (the index stores positions, not text, so the caller
+    passes the document table).
+
+    One spans job (``phrase_spans``' pruned scan + kernel) → equi-join
+    with ``docs`` on doc_id (only matched documents' text moves) → one
+    mapInPandas pass that re-tokenizes each matched document ONCE with
+    the snapshot's tokenizer and slices [pos−window, pos+m−1+window].
+    Surface ordinals equal index ordinals because analysis is
+    positionally 1:1 — stemming maps token→stem in place and stopwords
+    are indexed, never dropped — so the slice needs no stemmer."""
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    snap = catalog.current_snapshot()
+    tokenizer = (snap or {}).get("tokenizer", "simple")
+    m = len(analyze_str(phrase, None, tokenizer=tokenizer))
+    spans = _phrase_spans_df(spark, catalog, phrase, lang, ts_lo, ts_hi)
+    joined = spans.join(docs.select("doc_id", "text"), "doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            parts = []
+            for doc_id, g in pdf.groupby("doc_id", sort=False):
+                toks = analyze_str(
+                    g["text"].iloc[0], None, tokenizer=tokenizer
+                )
+                for pos in g["pos"]:
+                    lo = max(0, int(pos) - window)
+                    parts.append((
+                        int(doc_id), int(pos),
+                        " ".join(toks[lo:int(pos) + m + window]),
+                    ))
+            if parts:
+                yield pd.DataFrame(
+                    parts, columns=["doc_id", "pos", "passage"]
+                )
+
+    return (
+        joined.mapInPandas(gen, schema=_PASSAGE_SCHEMA)
+        .orderBy("doc_id", "pos")
+    )
 
 
 def _run_positional(

@@ -763,6 +763,41 @@ def phrase_spans_entry(spark, sf_dir):
     return phrase_spans(spark, cat, "table hash")
 
 
+@register(
+    "phrase_passages",
+    """
+WITH tok AS (SELECT doc_id,
+  list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+  FROM documents),
+tokp AS (SELECT doc_id, unnest(toks) AS term,
+  unnest(range(1, 1 + len(toks))) AS ord FROM tok),
+spans AS (SELECT t0.doc_id, (t0.ord - 1)::int AS pos
+  FROM tokp t0
+    JOIN tokp t1 ON t1.doc_id = t0.doc_id AND t1.ord = t0.ord + 1
+               AND t1.term = 'hash'
+  WHERE t0.term = 'table')
+SELECT s.doc_id, s.pos,
+  array_to_string(list_slice(tok.toks, greatest(1, s.pos + 1 - 3),
+                             least(len(tok.toks), s.pos + 2 + 3)), ' ')
+    AS passage
+FROM spans s JOIN tok USING (doc_id)
+ORDER BY s.doc_id, s.pos
+""",
+)
+def phrase_passages(spark, sf_dir):
+    """Passage extraction WITH context: every 'table hash' occurrence
+    as its ±3-token surface window (query/phrase.py ``passages`` — the
+    spans kernel joined back to the document table, one mapInPandas
+    tokenize-and-slice per matched doc).  The training-data shape:
+    retrieve windows, not ranked ids."""
+    from ..query.phrase import passages
+
+    cat = _suite_catalog(spark, sf_dir)
+    return passages(
+        spark, cat, table(spark, sf_dir, "documents"), "table hash", window=3
+    )
+
+
 @register("bm25_cross_fields_and", _cross_fields_sql(["data", "spark"]))
 def bm25_cross_fields_and(spark, sf_dir):
     """P1/R1 exact form: cross_fields multi_match (blended df, dismax

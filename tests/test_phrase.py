@@ -588,3 +588,70 @@ def test_search_facade_phrase(spark, pos_catalog):
         search(spark, pos_catalog, "hash join", phrase=True, or_mode=True)
     with pytest.raises(ValueError, match="phrase"):
         search(spark, pos_catalog, "hash join", slop=2)
+# To be appended to tests/test_phrase.py
+
+
+def _brute_passages(phrase, window, lang=None):
+    terms = phrase.split()
+    m = len(terms)
+    out = []
+    for d, text, dl_lang in DOCS:
+        if lang is not None and dl_lang != lang:
+            continue
+        tk = _toks(text)
+        for i in range(len(tk) - m + 1):
+            if tk[i : i + m] == terms:
+                out.append((d, i, " ".join(tk[max(0, i - window):i + m + window])))
+    return out
+
+
+@pytest.mark.parametrize(
+    ("phrase", "window"),
+    [("hash join", 2), ("hash join", 0), ("sort merge join", 3), ("hash", 1)],
+)
+def test_passages_match_bruteforce(spark, pos_catalog, phrase, window):
+    from datamart_spark.query.phrase import passages
+
+    docs = spark.createDataFrame(
+        [(d, t) for d, t, _ in DOCS], "doc_id long, text string"
+    )
+    got = [
+        (r["doc_id"], r["pos"], r["passage"])
+        for r in passages(spark, pos_catalog, docs, phrase, window=window).collect()
+    ]
+    assert got == _brute_passages(phrase, window)
+
+
+def test_passages_filtered_empty_and_validation(spark, pos_catalog):
+    from datamart_spark.query.phrase import passages
+
+    docs = spark.createDataFrame(
+        [(d, t) for d, t, _ in DOCS], "doc_id long, text string"
+    )
+    got = [
+        (r["doc_id"], r["pos"], r["passage"])
+        for r in passages(spark, pos_catalog, docs, "hash join", window=2,
+                          lang="de").collect()
+    ]
+    assert got == _brute_passages("hash join", 2, lang="de")
+    assert passages(spark, pos_catalog, docs, "zzznotaword").count() == 0
+    with pytest.raises(ValueError, match="window"):
+        passages(spark, pos_catalog, docs, "hash join", window=-1)
+
+
+def test_passages_stemmed_index_surface_text(spark, tmp_path):
+    """On a stemmed index the span ordinals index the analyzed stream;
+    passages must slice the SURFACE tokens at those ordinals (analysis
+    is positionally 1:1)."""
+    from datamart_spark.query.phrase import passages
+
+    rows = [(0, "quickly joining tables wins races")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cat = IndexCatalog(str(tmp_path / "stemp"))
+    build_index(docs, cat, stemming=True, resume=False, n_docs=1,
+                positions=True)
+    got = [
+        (r["doc_id"], r["pos"], r["passage"])
+        for r in passages(spark, cat, docs, "join table", window=1).collect()
+    ]
+    assert got == [(0, 1, "quickly joining tables wins")]

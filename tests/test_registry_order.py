@@ -22,6 +22,7 @@ SOLE_GATES = [
     "bm25_phrase_prefix",  # term-set (MultiPhraseQuery) kernel + prefix expansion (round 6)
     "phrase_spans",  # occurrence/offset extraction over positions (round 6)
     "bm25_phrase_slop",  # ordered-proximity greedy chain kernel (round 6)
+    "phrase_passages",  # context-window passage extraction (round 6)
 ]
 
 
