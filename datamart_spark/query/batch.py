@@ -75,7 +75,10 @@ def bm25_topk_batch(
     the selected columns only when the batch contains one).  A
     positional spec may add ``slop`` (int ≥ 0, default 0): ordered
     proximity with Lucene's 1/(gap+1) weighting, exactly
-    ``bm25_phrase_topk(slop=...)``.
+    ``bm25_phrase_topk(slop=...)``.  A phrase_prefix spec may add
+    ``max_expansions`` (default 50); all distinct prefixes in the
+    batch resolve in ONE term_stats scan (``expand_prefixes``).
+    ``or_mode`` on a positional spec raises, like the facade.
 
     Returns (query_id, doc_id, score), each query's rows ordered
     (score desc, doc_id asc), ≤ k rows per query; queries with no
@@ -116,10 +119,16 @@ def bm25_topk_batch(
             "batch contains phrase/phrase_prefix specs but the index is "
             "not positional — rebuild with build_index(..., positions=True)"
         )
+    # prefix specs resolve against the term dictionary; batch every
+    # distinct prefix into ONE term_stats scan (expand_prefixes) instead
+    # of one driver-side job per spec
+    prefix_reqs: dict[str, int] = {}
+    prefixed: list[tuple[str, list[str], str, int, tuple, int]] = []
     for q in queries:
         ctx = (q.get("lang"), q.get("ts_lo"), q.get("ts_hi"))
+        positional = bool(q.get("phrase") or q.get("phrase_prefix"))
         slop = int(q.get("slop", 0))
-        if slop and not (q.get("phrase") or q.get("phrase_prefix")):
+        if slop and not positional:
             raise ValueError(
                 f"query_id {q['query_id']!r}: slop is only valid on "
                 "phrase/phrase_prefix specs"
@@ -128,9 +137,18 @@ def bm25_topk_batch(
             raise ValueError(
                 f"query_id {q['query_id']!r}: slop must be >= 0, got {slop}"
             )
-        if q.get("phrase") or q.get("phrase_prefix"):
+        if positional and q.get("or_mode"):
+            raise ValueError(
+                f"query_id {q['query_id']!r}: or_mode does not apply to "
+                "phrase/phrase_prefix specs"
+            )
+        if q.get("phrase") and q.get("phrase_prefix"):
+            raise ValueError(
+                f"query_id {q['query_id']!r}: set phrase OR phrase_prefix, "
+                "not both"
+            )
+        if positional:
             from ..analyzer import StemCache, analyze_str
-            from .phrase import expand_prefix
 
             if q.get("phrase_prefix"):
                 toks = analyze_str(q["query"], None, tokenizer=tokenizer)
@@ -142,31 +160,47 @@ def bm25_topk_batch(
                     fixed = [cache(t) for t in fixed_surface]
                 else:
                     fixed = fixed_surface
-                expansions = expand_prefix(spark, catalog, prefix)
-                if not expansions:
-                    continue
-                term_sets = ([[t] for t in fixed] + [expansions]
-                             if fixed else [expansions])
-                idf_terms = fixed + expansions
-            else:
-                terms = analyze_str(
-                    q["query"], StemCache() if stemming else None,
-                    tokenizer=tokenizer,
+                mx = int(q.get("max_expansions", 50))
+                if mx <= 0:
+                    raise ValueError(
+                        f"query_id {q['query_id']!r}: max_expansions must "
+                        f"be > 0, got {mx}"
+                    )
+                prefix_reqs[prefix] = max(prefix_reqs.get(prefix, 0), mx)
+                prefixed.append(
+                    (str(q["query_id"]), fixed, prefix, mx, ctx, slop)
                 )
-                if not terms:
-                    continue
-                term_sets = [[t] for t in terms]
-                idf_terms = terms
-            phrased.append(
-                (str(q["query_id"]), term_sets, idf_terms, ctx, slop)
+                continue
+            terms = analyze_str(
+                q["query"], StemCache() if stemming else None,
+                tokenizer=tokenizer,
             )
-            all_terms.update(t for ts in term_sets for t in ts)
+            if not terms:
+                continue
+            phrased.append(
+                (str(q["query_id"]), [[t] for t in terms], terms, ctx, slop)
+            )
+            all_terms.update(terms)
             continue
         terms = analyze_query(q["query"], stemming=stemming, tokenizer=tokenizer)
         if not terms:
             continue
         analyzed.append((str(q["query_id"]), terms, bool(q.get("or_mode", False)), ctx))
         all_terms.update(terms)
+    if prefix_reqs:
+        from .phrase import expand_prefixes
+
+        expansions_of = expand_prefixes(spark, catalog, prefix_reqs)
+        for qid, fixed, prefix, mx, ctx, slop in prefixed:
+            # a lower per-spec cap is a prefix of the shared
+            # lexicographically-first list
+            expansions = expansions_of.get(prefix, [])[:mx]
+            if not expansions:
+                continue
+            term_sets = ([[t] for t in fixed] + [expansions]
+                         if fixed else [expansions])
+            phrased.append((qid, term_sets, fixed + expansions, ctx, slop))
+            all_terms.update(t for ts in term_sets for t in ts)
     if not analyzed and not phrased:
         return empty
 
@@ -266,12 +300,18 @@ def bm25_topk_batch(
         if pspecs:
             from .phrase import _phrase_topk_from_terms
 
+            # phrase specs share one per-term positional decode cache
+            # across the whole batch (keyed per block inside) — the
+            # decode-once-per-shard contract holds for pos_vb payloads
+            # exactly as `caches` holds for the keyword kernels
+            pos_caches: dict[str, dict] = {}
             for qid, term_sets, idf_sum, cid, slop in pspecs:
                 fids = None
                 if cid is not None:
                     fids = fids_by_ctx.get(cid, _empty_fids)
                 r = _phrase_topk_from_terms(
-                    by_term, fids, term_sets, idf_sum, avgdl, k, slop=slop
+                    by_term, fids, term_sets, idf_sum, avgdl, k, slop=slop,
+                    caches=pos_caches,
                 )
                 if len(r):
                     r = r.copy()

@@ -65,7 +65,8 @@ _Z = np.zeros(0, np.uint64)
 
 
 def _decode_blocks_pos(
-    rows: pd.DataFrame, candidates: np.ndarray | None, want: int = 3
+    rows: pd.DataFrame, candidates: np.ndarray | None, want: int = 3,
+    cache: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Decode one term's surviving blocks incl. positions.  Returns
     (doc_ids, tfs, dls, flat_abs_positions, posting_pos_offsets) where
@@ -73,8 +74,16 @@ def _decode_blocks_pos(
     are ``flat[off[j]:off[j+1]]`` (ascending within the posting).
     ``want``: 1 = doc ids only (the candidate-intersection passes — the
     position payload is the largest and must not be decoded there),
-    3 = everything."""
+    3 = everything.
+
+    ``cache`` (one dict per term, lossless per-block entries keyed
+    ("ids"|"full", block_id)) makes every block decode at most once per
+    shard-kernel no matter how many specs or passes touch it — the same
+    contract as the keyword path's wand decode cache.  Candidate
+    pruning only selects WHICH blocks decode; the per-block payload is
+    candidate-independent, so cached entries are exact."""
     order = np.argsort(rows["block_id"].to_numpy())
+    bids = rows["block_id"].to_numpy()[order]
     firsts = rows["first_doc_id"].to_numpy()[order]
     lasts = rows["last_doc_id"].to_numpy()[order]
     keep = np.ones(len(order), dtype=bool)
@@ -91,12 +100,33 @@ def _decode_blocks_pos(
     pvb = rows["pos_vb"].to_numpy()[order]
     d_parts, t_parts, l_parts, p_parts = [], [], [], []
     for i in np.flatnonzero(keep):
-        d_parts.append(delta_decode(vb_decode(bytes(dvb[i]))))
+        bid = int(bids[i])
         if want < 3:
+            if cache is not None:
+                hit = cache.get(("full", bid))
+                if hit is not None:
+                    d_parts.append(hit[0])
+                    continue
+                hit = cache.get(("ids", bid))
+                if hit is not None:
+                    d_parts.append(hit)
+                    continue
+            d = delta_decode(vb_decode(bytes(dvb[i])))
+            if cache is not None:
+                cache[("ids", bid)] = d
+            d_parts.append(d)
             continue
+        if cache is not None:
+            hit = cache.get(("full", bid))
+            if hit is not None:
+                d_parts.append(hit[0])
+                t_parts.append(hit[1])
+                l_parts.append(hit[2])
+                p_parts.append(hit[3])
+                continue
+        d = delta_decode(vb_decode(bytes(dvb[i])))
         tf = vb_decode(bytes(tvb[i]))
-        t_parts.append(tf)
-        l_parts.append(vb_decode(bytes(lvb[i])))
+        dl = vb_decode(bytes(lvb[i]))
         # positions: per-posting delta streams concatenated; groupwise
         # cumsum with a reset at each posting start recovers absolutes
         deltas = vb_decode(bytes(pvb[i])).astype(np.int64)
@@ -105,7 +135,13 @@ def _decode_blocks_pos(
         np.cumsum(counts[:-1], out=starts[1:])
         run = np.cumsum(deltas)
         correction = run[starts] - deltas[starts]
-        p_parts.append(run - np.repeat(correction, counts))
+        pos = run - np.repeat(correction, counts)
+        if cache is not None:
+            cache[("full", bid)] = (d, tf, dl, pos)
+        d_parts.append(d)
+        t_parts.append(tf)
+        l_parts.append(dl)
+        p_parts.append(pos)
     if not d_parts:
         return _Z, _Z, _Z, _Z, np.zeros(1, np.int64)
     d = np.concatenate(d_parts)
@@ -150,8 +186,11 @@ def _phrase_topk_shard(
     if post.empty:
         return empty
     by_term = dict(tuple(post.groupby("term", sort=False)))
+    # a fresh per-call cache still pays off inside ONE query: the
+    # ids-only intersection passes and the full pass hit the same blocks
     return _phrase_topk_from_terms(
-        by_term, filter_ids, term_sets, idf_sum, avgdl, k, slop=slop
+        by_term, filter_ids, term_sets, idf_sum, avgdl, k, slop=slop,
+        caches={},
     )
 
 
@@ -163,6 +202,7 @@ def _phrase_topk_from_terms(
     avgdl: float,
     k: int,
     slop: int = 0,
+    caches: dict[str, dict] | None = None,
 ) -> pd.DataFrame:
     """Core of one shard's positional top-k over an already-grouped
     term → posting-rows map (the batch kernel calls this directly,
@@ -181,13 +221,13 @@ def _phrase_topk_from_terms(
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "score": pd.Series([], dtype="float64")})
     if slop > 0:
-        sm = _slop_matches(by_term, filter_ids, term_sets, slop)
+        sm = _slop_matches(by_term, filter_ids, term_sets, slop, caches)
         if sm is None:
             return empty
         cand, dl_cand, doc_local, weights = sm
         pf = np.bincount(doc_local, weights=weights, minlength=cand.size)
     else:
-        occ = _phrase_occurrences(by_term, filter_ids, term_sets)
+        occ = _phrase_occurrences(by_term, filter_ids, term_sets, caches)
         if occ is None:
             return empty
         cand, dl_cand, running = occ
@@ -206,13 +246,16 @@ def _gather_positions(
     by_term: dict[str, pd.DataFrame],
     filter_ids: np.ndarray | None,
     term_sets: list[list[str]],
+    caches: dict[str, dict] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, list[list[str]],
            dict[str, tuple[np.ndarray, np.ndarray]]] | None:
     """Shared front half of every positional-sequence kernel: candidate
     docs (present in EVERY position's term set, post-filter) plus the
     decoded (local_doc, position) pairs of each surviving term.
     Returns (cand, dl_cand, present_sets, keys_of) or None when the
-    shard cannot match."""
+    shard cannot match.  ``caches`` maps term → its per-block decode
+    cache (shared across the batch kernel's specs AND across this
+    call's own ids-then-full passes)."""
     if filter_ids is not None and filter_ids.size == 0:
         return None
     # per position: the subset of its terms present in this shard
@@ -223,8 +266,14 @@ def _gather_positions(
             return None  # no acceptable term for this position here
         present_sets.append(here)
 
+    def tcache(t: str) -> dict | None:
+        return None if caches is None else caches.setdefault(t, {})
+
     def union_docs(ts: list[str], cand: np.ndarray | None) -> np.ndarray:
-        parts = [_decode_blocks_pos(by_term[t], cand, want=1)[0] for t in ts]
+        parts = [
+            _decode_blocks_pos(by_term[t], cand, want=1, cache=tcache(t))[0]
+            for t in ts
+        ]
         if len(parts) == 1:
             return parts[0]
         return np.unique(np.concatenate(parts))
@@ -248,7 +297,9 @@ def _gather_positions(
     keys_of: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     dl_cand = np.zeros(cand.size, dtype=np.float64)
     for t in {t for ts in present_sets for t in ts}:
-        d, tf, dl, flat, off = _decode_blocks_pos(by_term[t], cand)
+        d, tf, dl, flat, off = _decode_blocks_pos(
+            by_term[t], cand, cache=tcache(t)
+        )
         loc = np.searchsorted(d, cand)
         loc_c = np.minimum(loc, max(d.size - 1, 0))
         has = d[loc_c] == cand if d.size else np.zeros(cand.size, bool)
@@ -268,12 +319,13 @@ def _phrase_occurrences(
     by_term: dict[str, pd.DataFrame],
     filter_ids: np.ndarray | None,
     term_sets: list[list[str]],
+    caches: dict[str, dict] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
     """Candidate docs + phrase-occurrence keys of one shard.  Returns
     (cand, dl_cand, running) where ``running`` holds one int64 key
     ``local_doc·2^33 + (start_pos + m)`` per phrase occurrence, or
     ``None`` when the shard cannot match."""
-    g = _gather_positions(by_term, filter_ids, term_sets)
+    g = _gather_positions(by_term, filter_ids, term_sets, caches)
     if g is None:
         return None
     cand, dl_cand, present_sets, keys_of = g
@@ -309,6 +361,7 @@ def _slop_matches(
     filter_ids: np.ndarray | None,
     term_sets: list[list[str]],
     slop: int,
+    caches: dict[str, dict] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None:
     """Ordered proximity matches (span_near, in_order=true): for each
     occurrence of a position-0 term, later positions greedily take
@@ -319,7 +372,7 @@ def _slop_matches(
     weighs 1/(gap+1) — Lucene's SloppyPhraseScorer slop factor — and
     slop=0 degenerates to the exact-phrase count.  Returns
     (cand, dl_cand, doc_local, weights) or None."""
-    g = _gather_positions(by_term, filter_ids, term_sets)
+    g = _gather_positions(by_term, filter_ids, term_sets, caches)
     if g is None:
         return None
     cand, dl_cand, present_sets, keys_of = g
@@ -486,7 +539,7 @@ def _phrase_spans_df(
         if post_pdf.empty:
             return out_empty
         by_term = dict(tuple(post_pdf.groupby("term", sort=False)))
-        occ = _phrase_occurrences(by_term, fids, term_sets)
+        occ = _phrase_occurrences(by_term, fids, term_sets, caches={})
         if occ is None:
             return out_empty
         cand, _, running = occ
@@ -635,6 +688,44 @@ def expand_prefix(
         .collect()
     )
     return [r["term"] for r in rows]
+
+
+def expand_prefixes(
+    spark: SparkSession, catalog, reqs: dict[str, int]
+) -> dict[str, list[str]]:
+    """Resolve MANY prefixes in ONE term_stats scan (the batch form of
+    ``expand_prefix`` — N driver-side jobs collapse to one): the scan
+    filters on the OR of the pushed ``startswith`` predicates, a tiny
+    broadcast prefix table joins each surviving term to the prefixes it
+    extends, and a per-prefix window keeps the lexicographically-first
+    ``reqs[prefix]`` terms, so the collect stays bounded by
+    Σ max_expansions."""
+    if not reqs:
+        return {}
+    from pyspark.sql import Window
+
+    cond = None
+    for p in sorted(reqs):
+        c = F.col("term").startswith(p)
+        cond = c if cond is None else (cond | c)
+    pf = spark.createDataFrame(
+        [(p, n) for p, n in sorted(reqs.items())], "prefix string, mx int"
+    )
+    t = catalog.read_snapshot(spark, "term_stats").where(cond).select("term")
+    w = Window.partitionBy("prefix").orderBy("term")
+    rows = (
+        t.join(F.broadcast(pf), F.col("term").startswith(F.col("prefix")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("mx"))
+        .select("prefix", "term")
+        .collect()
+    )
+    out: dict[str, list[str]] = {p: [] for p in reqs}
+    for r in rows:
+        out[r["prefix"]].append(r["term"])
+    for p in out:
+        out[p].sort()
+    return out
 
 
 def bm25_phrase_prefix_topk(

@@ -655,3 +655,61 @@ def test_passages_stemmed_index_surface_text(spark, tmp_path):
         for r in passages(spark, cat, docs, "join table", window=1).collect()
     ]
     assert got == [(0, 1, "quickly joining tables wins")]
+
+
+def test_batch_positional_spec_validation(spark, pos_catalog):
+    from datamart_spark.query import bm25_topk_batch
+
+    with pytest.raises(ValueError, match="or_mode"):
+        bm25_topk_batch(spark, pos_catalog, [
+            {"query_id": "x", "query": "hash join", "phrase": True,
+             "or_mode": True},
+        ])
+    with pytest.raises(ValueError, match="not both"):
+        bm25_topk_batch(spark, pos_catalog, [
+            {"query_id": "x", "query": "hash join", "phrase": True,
+             "phrase_prefix": True},
+        ])
+    with pytest.raises(ValueError, match="max_expansions"):
+        bm25_topk_batch(spark, pos_catalog, [
+            {"query_id": "x", "query": "hash j", "phrase_prefix": True,
+             "max_expansions": 0},
+        ])
+
+
+def test_batch_prefix_max_expansions_and_one_scan(spark, pos_catalog):
+    """Per-spec max_expansions matches the single-query engine, and two
+    specs sharing a prefix with different caps both get the
+    lexicographically-first slice of ONE resolution."""
+    from datamart_spark.query import bm25_phrase_prefix_topk, bm25_topk_batch
+
+    specs = [
+        {"query_id": "cap1", "query": "merge s", "phrase_prefix": True,
+         "max_expansions": 1},
+        {"query_id": "capall", "query": "merge s", "phrase_prefix": True},
+    ]
+    got = {}
+    for r in bm25_topk_batch(spark, pos_catalog, specs, k=10).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, mx in (("cap1", 1), ("capall", 50)):
+        want = [
+            (r["doc_id"], r["score"])
+            for r in bm25_phrase_prefix_topk(
+                spark, pos_catalog, "merge s", max_expansions=mx
+            ).collect()
+        ]
+        assert [d for d, _ in got.get(qid, [])] == [d for d, _ in want], qid
+        np.testing.assert_allclose(
+            [s for _, s in got.get(qid, [])], [s for _, s in want],
+            rtol=1e-9, err_msg=qid,
+        )
+
+
+def test_expand_prefixes_matches_expand_prefix(spark, pos_catalog):
+    from datamart_spark.query.phrase import expand_prefix, expand_prefixes
+
+    reqs = {"s": 50, "j": 50, "ha": 1, "zzz": 50}
+    many = expand_prefixes(spark, pos_catalog, reqs)
+    for p, mx in reqs.items():
+        assert many[p] == expand_prefix(spark, pos_catalog, p, mx), p
+    assert expand_prefixes(spark, pos_catalog, {}) == {}
