@@ -526,13 +526,6 @@ def _phrase_spans_df(
     m = len(term_sets)
     mask = (1 << 33) - 1
 
-    postings = (
-        catalog.read_snapshot(spark, "postings")
-        .where(F.col("term").isin(sorted(set(terms))))
-        .select(*_PHRASE_COLS)
-    )
-    filtered = lang is not None or ts_lo is not None or ts_hi is not None
-
     def emit(post_pdf: pd.DataFrame, fids: np.ndarray | None) -> pd.DataFrame:
         out_empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                   "pos": pd.Series([], dtype="int32")})
@@ -548,26 +541,10 @@ def _phrase_spans_df(
             "pos": ((running & mask) - m).astype(np.int32),
         })
 
-    if not filtered:
-        def kernel(post_pdf: pd.DataFrame) -> pd.DataFrame:
-            return emit(post_pdf, None)
-
-        local = postings.groupby("shard").applyInPandas(
-            kernel, schema=_SPANS_SCHEMA
-        )
-    else:
-        ds = _filtered_doc_ids(spark, catalog, lang, ts_lo, ts_hi)
-
-        def kernel2(key, post_pdf, docs_pdf):
-            fids = np.sort(docs_pdf["doc_id"].to_numpy().astype(np.uint64))
-            return emit(post_pdf, fids)
-
-        local = (
-            postings.groupby("shard")
-            .cogroup(ds.groupby("shard"))
-            .applyInPandas(kernel2, schema=_SPANS_SCHEMA)
-        )
-    return local
+    return _shard_kernel_job(
+        spark, catalog, sorted(set(terms)), emit, _SPANS_SCHEMA,
+        lang, ts_lo, ts_hi,
+    )
 
 
 _PASSAGE_SCHEMA = "doc_id long, pos int, passage string"
@@ -639,37 +616,49 @@ def _run_positional(
     over the union of all positions' terms, per-shard kernel, global
     merge."""
     all_terms = sorted({t for ts in term_sets for t in ts})
+    local = _shard_kernel_job(
+        spark, catalog, all_terms,
+        lambda post_pdf, fids: _phrase_topk_shard(
+            post_pdf, fids, term_sets, idf_sum, avgdl, k, slop
+        ),
+        _RESULT_SCHEMA, lang, ts_lo, ts_hi,
+    )
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _shard_kernel_job(
+    spark, catalog, scan_terms: list[str], shard_fn, schema: str,
+    lang, ts_lo, ts_hi,
+) -> DataFrame:
+    """The positional family's one execution skeleton: term-IN pruned
+    postings scan → per-shard Arrow groups → ``shard_fn(post_pdf,
+    filter_ids)`` — cogrouped with the filter doc-id set when any
+    filter is present.  Every positional job (top-k, spans, passages)
+    runs through here so scan pruning / filter plumbing fixes apply to
+    all of them at once."""
     filtered = lang is not None or ts_lo is not None or ts_hi is not None
     postings = (
         catalog.read_snapshot(spark, "postings")
-        .where(F.col("term").isin(all_terms))
+        .where(F.col("term").isin(scan_terms))
         .select(*_PHRASE_COLS)
     )
-
     if not filtered:
         def kernel(post_pdf: pd.DataFrame) -> pd.DataFrame:
-            return _phrase_topk_shard(
-                post_pdf, None, term_sets, idf_sum, avgdl, k, slop
-            )
+            return shard_fn(post_pdf, None)
 
-        local = postings.groupby("shard").applyInPandas(
-            kernel, schema=_RESULT_SCHEMA
-        )
-    else:
-        ds = _filtered_doc_ids(spark, catalog, lang, ts_lo, ts_hi)
+        return postings.groupby("shard").applyInPandas(kernel, schema=schema)
 
-        def kernel2(key, post_pdf, docs_pdf):
-            fids = np.sort(docs_pdf["doc_id"].to_numpy().astype(np.uint64))
-            return _phrase_topk_shard(
-                post_pdf, fids, term_sets, idf_sum, avgdl, k, slop
-            )
+    ds = _filtered_doc_ids(spark, catalog, lang, ts_lo, ts_hi)
 
-        local = (
-            postings.groupby("shard")
-            .cogroup(ds.groupby("shard"))
-            .applyInPandas(kernel2, schema=_RESULT_SCHEMA)
-        )
-    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    def kernel2(key, post_pdf, docs_pdf):
+        fids = np.sort(docs_pdf["doc_id"].to_numpy().astype(np.uint64))
+        return shard_fn(post_pdf, fids)
+
+    return (
+        postings.groupby("shard")
+        .cogroup(ds.groupby("shard"))
+        .applyInPandas(kernel2, schema=schema)
+    )
 
 
 def expand_prefix(
