@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..analyzer import analyze_str, StemCache
 from ..index.varbyte import vb_decode, delta_decode
 from .bm25 import K1, B, idf_map, _filtered_doc_ids
-from .wand import _local_topk
+from .wand import _local_topk, _shard_kernel_job
 
 _RESULT_SCHEMA = "doc_id long, score double"
 
@@ -543,7 +543,7 @@ def _phrase_spans_df(
 
     return _shard_kernel_job(
         spark, catalog, sorted(set(terms)), emit, _SPANS_SCHEMA,
-        lang, ts_lo, ts_hi,
+        lang, ts_lo, ts_hi, cols=_PHRASE_COLS,
     )
 
 
@@ -621,44 +621,9 @@ def _run_positional(
         lambda post_pdf, fids: _phrase_topk_shard(
             post_pdf, fids, term_sets, idf_sum, avgdl, k, slop
         ),
-        _RESULT_SCHEMA, lang, ts_lo, ts_hi,
+        _RESULT_SCHEMA, lang, ts_lo, ts_hi, cols=_PHRASE_COLS,
     )
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-
-
-def _shard_kernel_job(
-    spark, catalog, scan_terms: list[str], shard_fn, schema: str,
-    lang, ts_lo, ts_hi,
-) -> DataFrame:
-    """The positional family's one execution skeleton: term-IN pruned
-    postings scan → per-shard Arrow groups → ``shard_fn(post_pdf,
-    filter_ids)`` — cogrouped with the filter doc-id set when any
-    filter is present.  Every positional job (top-k, spans, passages)
-    runs through here so scan pruning / filter plumbing fixes apply to
-    all of them at once."""
-    filtered = lang is not None or ts_lo is not None or ts_hi is not None
-    postings = (
-        catalog.read_snapshot(spark, "postings")
-        .where(F.col("term").isin(scan_terms))
-        .select(*_PHRASE_COLS)
-    )
-    if not filtered:
-        def kernel(post_pdf: pd.DataFrame) -> pd.DataFrame:
-            return shard_fn(post_pdf, None)
-
-        return postings.groupby("shard").applyInPandas(kernel, schema=schema)
-
-    ds = _filtered_doc_ids(spark, catalog, lang, ts_lo, ts_hi)
-
-    def kernel2(key, post_pdf, docs_pdf):
-        fids = np.sort(docs_pdf["doc_id"].to_numpy().astype(np.uint64))
-        return shard_fn(post_pdf, fids)
-
-    return (
-        postings.groupby("shard")
-        .cogroup(ds.groupby("shard"))
-        .applyInPandas(kernel2, schema=schema)
-    )
 
 
 def expand_prefix(

@@ -383,32 +383,49 @@ def bm25_topk_blockmax(
         if not terms:
             return empty
 
+    n_terms = len(terms)
+    local = _shard_kernel_job(
+        spark, catalog, terms,
+        lambda post_pdf, fids: _shard_topk(
+            post_pdf, fids, idfs, avgdl, k, n_terms, or_mode, tfn_ref
+        ),
+        _RESULT_SCHEMA, lang, ts_lo, ts_hi, cols=_POSTING_COLS,
+    )
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _shard_kernel_job(
+    spark, catalog, scan_terms: list[str], shard_fn, schema: str,
+    lang, ts_lo, ts_hi, cols: list[str] = _POSTING_COLS,
+) -> DataFrame:
+    """The query family's one execution skeleton: term-IN pruned
+    postings scan over ``cols`` → per-shard Arrow groups →
+    ``shard_fn(post_pdf, filter_ids)`` — cogrouped with the filter
+    doc-id set when any filter is present (no doc_stats side at all
+    otherwise: doclens ride in the posting blocks).  Keyword top-k and
+    every positional job (top-k, spans, passages — query/phrase.py,
+    which passes its positional column list) run through here, so scan
+    pruning / filter plumbing fixes apply to all of them at once."""
     filtered = lang is not None or ts_lo is not None or ts_hi is not None
     postings = (
         catalog.read_snapshot(spark, "postings")
-        .where(F.col("term").isin(terms))
-        .select(*_POSTING_COLS)
+        .where(F.col("term").isin(scan_terms))
+        .select(*cols)
     )
-    n_terms = len(terms)
-
     if not filtered:
-        # no doc_stats side at all: doclens ride in the posting blocks
         def kernel(post_pdf: pd.DataFrame) -> pd.DataFrame:
-            return _shard_topk(post_pdf, None, idfs, avgdl, k, n_terms, or_mode,
-                               tfn_ref)
+            return shard_fn(post_pdf, None)
 
-        local = postings.groupby("shard").applyInPandas(kernel, schema=_RESULT_SCHEMA)
-    else:
-        ds = _filtered_doc_ids(spark, catalog, lang, ts_lo, ts_hi)
+        return postings.groupby("shard").applyInPandas(kernel, schema=schema)
 
-        def kernel2(key, post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
-            fids = np.sort(docs_pdf["doc_id"].to_numpy().astype(np.uint64))
-            return _shard_topk(post_pdf, fids, idfs, avgdl, k, n_terms, or_mode,
-                               tfn_ref)
+    ds = _filtered_doc_ids(spark, catalog, lang, ts_lo, ts_hi)
 
-        local = (
-            postings.groupby("shard")
-            .cogroup(ds.groupby("shard"))
-            .applyInPandas(kernel2, schema=_RESULT_SCHEMA)
-        )
-    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    def kernel2(key, post_pdf, docs_pdf):
+        fids = np.sort(docs_pdf["doc_id"].to_numpy().astype(np.uint64))
+        return shard_fn(post_pdf, fids)
+
+    return (
+        postings.groupby("shard")
+        .cogroup(ds.groupby("shard"))
+        .applyInPandas(kernel2, schema=schema)
+    )
