@@ -20,6 +20,7 @@ from pyspark.sql import SparkSession, functions as F
 
 from .build import (
     POSTINGS_SCHEMA,
+    POSTINGS_SCHEMA_POS,
     POSTINGS_WRITE_OPTIONS,
     TFN_REF_AVGDL,
     _encode_partition_arrow,
@@ -119,11 +120,19 @@ def _delete_docs_impl(
     )
     catalog.rewrite_partitions(sent, "doc_stats", shards, defer_cleanup=True)
 
-    # 3. postings: re-encode the touched shards from surviving tokens
+    # 3. postings: re-encode the touched shards from surviving tokens.
+    # A positional snapshot carries pos_vb on its token rows — the
+    # rewrite must preserve it (the committed snapshot keeps
+    # positions:true, so dropping the column would break every later
+    # phrase/span/passage query on the touched shards)
+    positions = bool(snap.get("positions", False))
+    enc_cols = ["term", "shard", "doc_id", "tf", "doclen"]
+    if positions:
+        enc_cols.append("pos_vb")
     tok = (
         tdf.where(F.col("shard").isin(shards))
         .where(F.col("kind") == "t")
-        .select("term", "shard", "doc_id", "tf", "doclen")
+        .select(*enc_cols)
     )
 
     def encode_partition(batches):
@@ -134,11 +143,14 @@ def _delete_docs_impl(
             return
         tbl = pa.Table.from_batches(batches)
         if tbl.num_rows:
-            yield from _encode_partition_arrow(tbl)
+            yield from _encode_partition_arrow(tbl, positions=positions)
 
     postings = tok.repartition(
         max(len(shards), spark.sparkContext.defaultParallelism), "term", "shard"
-    ).mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
+    ).mapInArrow(
+        encode_partition,
+        schema=POSTINGS_SCHEMA_POS if positions else POSTINGS_SCHEMA,
+    )
     # same compaction as the build: one term-sorted file per shard,
     # with the exact shard→task assignment (no hash co-location)
     from .build import encode_partitioning

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..analyzer import analyze_str, StemCache
 from ..index.varbyte import vb_decode, delta_decode
-from .bm25 import K1, B, idf_map, _filtered_doc_ids
+from .bm25 import K1, B, idf_map
 from .wand import _local_topk, _shard_kernel_job
 
 _RESULT_SCHEMA = "doc_id long, score double"
@@ -440,6 +440,8 @@ def bm25_phrase_topk(
     if slop < 0:
         raise ValueError(f"slop must be >= 0, got {slop}")
     snap = catalog.current_snapshot()
+    if snap is None:
+        raise ValueError("no committed snapshot in this catalog")
     if not snap.get("positions", False):
         raise ValueError(
             "phrase queries need a positional index — rebuild with "
@@ -508,6 +510,8 @@ def _phrase_spans_df(
     """``phrase_spans`` without the final global sort — the join-side
     form ``passages`` consumes."""
     snap = catalog.current_snapshot()
+    if snap is None:
+        raise ValueError("no committed snapshot in this catalog")
     if not snap.get("positions", False):
         raise ValueError(
             "phrase queries need a positional index — rebuild with "
@@ -577,7 +581,9 @@ def passages(
     if window < 0:
         raise ValueError(f"window must be >= 0, got {window}")
     snap = catalog.current_snapshot()
-    tokenizer = (snap or {}).get("tokenizer", "simple")
+    if snap is None:
+        raise ValueError("no committed snapshot in this catalog")
+    tokenizer = snap.get("tokenizer", "simple")
     m = len(analyze_str(phrase, None, tokenizer=tokenizer))
     spans = _phrase_spans_df(spark, catalog, phrase, lang, ts_lo, ts_hi)
     joined = spans.join(docs.select("doc_id", "text"), "doc_id")
@@ -709,6 +715,8 @@ def bm25_phrase_prefix_topk(
     if slop < 0:
         raise ValueError(f"slop must be >= 0, got {slop}")
     snap = catalog.current_snapshot()
+    if snap is None:
+        raise ValueError("no committed snapshot in this catalog")
     if not snap.get("positions", False):
         raise ValueError(
             "phrase queries need a positional index — rebuild with "

@@ -147,6 +147,45 @@ def test_delete_docs_rank_identical_to_fresh_subset(spark, tmp_path):
     assert not (got_ids & set(drop_ids))
 
 
+def test_delete_docs_preserves_positions(spark, tmp_path):
+    """ADVICE r6 (high): delete_docs on a POSITIONAL index must re-encode
+    the touched shards with the pos_vb payload — dropping it broke every
+    later phrase query against those shards.  Phrase ranks after the
+    delete must equal a fresh positional index over the survivors."""
+    from pyspark.sql import functions as F
+
+    from datamart_spark.index import delete_docs
+    from datamart_spark.query.phrase import bm25_phrase_topk, phrase_spans
+
+    n = 400
+    docs = generate_documents(spark, n)
+    cat = IndexCatalog(str(tmp_path / "delpos"))
+    build_index(docs, cat, n_shards=4, resume=False, positions=True)
+
+    # pick a phrase with matches, then delete one matching doc
+    q = f"{_VOCAB[40]} {_VOCAB[300]}"
+    spans0 = phrase_spans(spark, cat, q).collect()
+    drop_ids = sorted({r["doc_id"] for r in spans0})[:1] or [0]
+    m2 = delete_docs(spark, cat, doc_ids=drop_ids)
+    assert m2["positions"] is True
+
+    fresh = IndexCatalog(str(tmp_path / "delpos_fresh"))
+    build_index(
+        docs.where(~F.col("doc_id").isin(drop_ids)), fresh,
+        n_shards=4, resume=False, n_docs=n - len(drop_ids), positions=True,
+    )
+    for phrase, slop in ((q, 0), (q, 3), (f"{_VOCAB[45]} {_VOCAB[120]}", 2)):
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in bm25_phrase_topk(spark, cat, phrase, k=20, slop=slop).collect()]
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in bm25_phrase_topk(spark, fresh, phrase, k=20, slop=slop).collect()]
+        assert a == b
+    sa = [(r["doc_id"], r["pos"]) for r in phrase_spans(spark, cat, q).collect()]
+    sb = [(r["doc_id"], r["pos"]) for r in phrase_spans(spark, fresh, q).collect()]
+    assert sa == sb
+    assert not ({d for d, _ in sa} & set(drop_ids))
+
+
 def test_grown_only_shards_drops_stranded_lineage(spark, tmp_path):
     """ADVICE (r2, medium): a bounded grown run (only_shards excluding
     part of the delta) must not commit lineage for the excluded delta
