@@ -195,12 +195,21 @@ def term_doc_tf(
     schema = _tokens_schema(meta_cols, positions=positions)
 
     def analyze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..analyzer import tokenize_batch_flat
         from ..porter2 import stem
 
         for b in batches:
             if title_boost is None:
-                toks = analyze_series(b[text_col], stemming=False, tokenizer=tokenizer)
-                toks = toks.map(lambda ts: ts if ts is not None else [])
+                # whole-batch Arrow tokenization (analyzer.
+                # tokenize_batch_flat): RE2 split + dictionary encode in
+                # C++ for provably-\w+-identical rows, python fallback
+                # for the rest — replaces the pandas str.findall +
+                # pd.factorize pair that dominated the analyze phase
+                # (guide §4.2); returns the already-factorized stream
+                codes, uniq0, lens, stream_order = tokenize_batch_flat(
+                    b[text_col], tokenizer=tokenizer
+                )
+                toks = None
                 weights_per_doc = None
             else:
                 split = b[text_col].fillna("").str.split("\n", n=1)
@@ -222,7 +231,8 @@ def term_doc_tf(
                     )
                     for a, c in zip(t_toks, b_toks)
                 ]
-            lens = toks.map(len).to_numpy(dtype=np.int64)
+            if toks is not None:
+                lens = toks.map(len).to_numpy(dtype=np.int64)
             doc_ids = b["doc_id"].to_numpy()
             pos_bytes: list[bytes] = []
             if lens.sum() == 0:
@@ -231,13 +241,22 @@ def term_doc_tf(
                 out_term_idx = pair_counts = out_doc_idx
                 doclens = lens
             else:
-                flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-                # hash-factorize (pd.factorize is O(n); sort-based np.unique
-                # over object strings was the profile's hot spot), stem once
-                # per UNIQUE surface token, then refactorize on the STEM so
-                # forms that collapse to one stem ("runs","running"→"run")
-                # merge into a single tf
-                inv, uniq = pd.factorize(flat, sort=False)
+                if toks is None:
+                    # stream already factorized by tokenize_batch_flat;
+                    # rows appear in stream_order (each row contiguous,
+                    # tokens in document order)
+                    inv, uniq = codes, uniq0
+                else:
+                    stream_order = np.arange(len(b), dtype=np.int64)
+                    flat = np.concatenate(
+                        [np.asarray(t, dtype=object) for t in toks]
+                    )
+                    # hash-factorize (pd.factorize is O(n); sort-based
+                    # np.unique over object strings was the profile's hot
+                    # spot), stem once per UNIQUE surface token, then
+                    # refactorize on the STEM so forms that collapse to one
+                    # stem ("runs","running"→"run") merge into a single tf
+                    inv, uniq = pd.factorize(flat, sort=False)
                 if stemming:
                     if len(_STEM_CACHE) > _STEM_CACHE_MAX:
                         _STEM_CACHE.clear()
@@ -250,8 +269,11 @@ def term_doc_tf(
                 stem_of_surf, stems = pd.factorize(surf_stems, sort=False)
                 stems = np.asarray(stems, dtype=object)
                 token_stem = stem_of_surf[inv]
-                # integer-factorized (doc, stem) pair counting — all C-level
-                doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+                # integer-factorized (doc, stem) pair counting — all
+                # C-level.  The flat stream lists rows in stream_order
+                # (identity for the legacy path), so the per-token doc
+                # index repeats the ORIGINAL row positions in that order
+                doc_idx = np.repeat(stream_order, lens[stream_order])
                 n_terms = len(stems)
                 pair_codes = doc_idx * n_terms + token_stem
                 if positions:
@@ -269,12 +291,13 @@ def term_doc_tf(
                     gends = np.append(gstarts[1:], sc.size)
                     pair_uniq = sc[gstarts]
                     pair_counts = gends - gstarts
+                    slens = lens[stream_order]  # per-row counts in stream order
                     doc_starts = np.concatenate(
-                        [np.zeros(1, np.int64), np.cumsum(lens)[:-1]]
+                        [np.zeros(1, np.int64), np.cumsum(slens)[:-1]]
                     )
                     pos_in_doc = (
                         np.arange(sc.size, dtype=np.int64)
-                        - np.repeat(doc_starts, lens)
+                        - np.repeat(doc_starts, slens)
                     )
                     sp = pos_in_doc[order_tok]
                     deltas = np.empty_like(sp)
@@ -288,7 +311,13 @@ def term_doc_tf(
                     ]
                     doclens = lens
                 elif weights_per_doc is None:
-                    pair_uniq, pair_counts = np.unique(pair_codes, return_counts=True)
+                    # hash-factorize + bincount: O(n) vs np.unique's
+                    # O(n log n) sort over the token-scale code array
+                    # (row order of the emitted pairs is first-appearance
+                    # instead of sorted — nothing downstream reads the
+                    # tokens table ordered; the encoder re-sorts)
+                    pair_inv, pair_uniq = pd.factorize(pair_codes, sort=False)
+                    pair_counts = np.bincount(pair_inv, minlength=len(pair_uniq))
                     doclens = lens
                 else:
                     w = np.concatenate(weights_per_doc)
@@ -322,11 +351,20 @@ def term_doc_tf(
             )
             if positions:
                 pdf["pos_vb"] = pos_bytes + [None] * len(b)
-            for c in meta_cols:
-                pdf[c] = pd.concat(
-                    [pd.Series([None] * n_tok, dtype=b[c].dtype), b[c]],
-                    ignore_index=True,
+            if meta_cols:
+                # dtype-preserving NA-fill take: the [None]*n_tok
+                # pd.concat built a token-scale python list + re-cast
+                # per meta column (profiled ~1/3 of the batch kernel)
+                fill_idx = np.concatenate(
+                    [
+                        np.full(n_tok, -1, dtype=np.intp),
+                        np.arange(len(b), dtype=np.intp),
+                    ]
                 )
+                for c in meta_cols:
+                    pdf[c] = pd.Series(
+                        b[c].array.take(fill_idx, allow_fill=True)
+                    )
             yield pdf
 
     return docs.select("doc_id", text_col, *meta_cols).mapInPandas(
@@ -970,6 +1008,12 @@ def _encode_partition_arrow(tbl, positions: bool = False):
     )
     extra_cols, extra_names = [], []
     if positions:
+        # NOTE: pa.binary() offsets are int32, so one shard partition's
+        # total positional payload is capped at 2 GiB — ~250k docs of
+        # ~8 kB compressed positions each, comfortably above the
+        # default_n_shards 250k-doc sizing.  Exceeding it fails LOUDLY
+        # in combine_chunks/take below; shrink docs_per_shard (more
+        # shards) for corpora with much longer documents.
         parr = tbl.column("pos_vb").combine_chunks()
         if isinstance(parr, pa.ChunkedArray):
             parr = parr.chunk(0)

@@ -113,17 +113,27 @@ def bm25_direct(
     docs = table(spark, sf_dir, "documents")
     tok, dl, n_docs, avgdl = _direct_tables(spark, sf_dir)
 
-    tfq = tok.where(F.col("term").isin(terms))
+    # ONE term-pruned scan serves both the tf and the idf branch
+    # (guide §2.4: the tf/idf subtrees used to re-scan + re-aggregate
+    # the token table independently).  tf per (doc, term) is unaffected
+    # by the non-scoring lang filter (it drops whole docs), so it is
+    # aggregated once BEFORE the filter; df per term == the number of
+    # (doc, term) groups — exactly count(DISTINCT doc_id).
+    tf_all = (
+        tok.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .localCheckpoint(eager=True)  # within-query reuse, never cross-run
+    )
+    tf = tf_all
     if lang is not None:
-        tfq = tfq.join(
+        tf = tf_all.join(
             docs.where(F.col("lang") == lang).select("doc_id"), "doc_id"
         )
-    tf = tfq.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
 
     idf = (
-        tok.where(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(F.count_distinct("doc_id").cast("double").alias("df"))
+        tf_all.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
         .withColumn(
             "idf",
             F.expr(f"ln(1 + ({n_docs!r} - df + 0.5) / (df + 0.5))"),

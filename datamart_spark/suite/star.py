@@ -50,7 +50,11 @@ GROUP BY o.o_orderkey ORDER BY o.o_orderkey
 )
 def join_left_agg(spark, sf_dir):
     o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
-    l = table(spark, sf_dir, "lineitem")
+    # manual semi-join reduction (guide §3.2): the join key equality
+    # means only l_orderkey < 500 rows can ever match, and the preserved
+    # left side is unaffected — the predicate pushes to parquet
+    # row-group stats and prunes most of the lineitem scan
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
     return (
         o.join(l, l["l_orderkey"] == o["o_orderkey"], "left")
         .groupBy("o_orderkey")
@@ -363,7 +367,19 @@ WHERE rk <= 3 ORDER BY o_orderpriority, rk
 """,
 )
 def window_top3_per_priority(spark, sf_dir):
-    o = table(spark, sf_dir, "orders")
+    # Spark plans rk<=3 as WindowGroupLimit(Partial) BEFORE the window
+    # exchange — each map task keeps only its local top-3 per group.
+    # But the single-file orders table has 2 parquet row groups, so the
+    # map-side sort ran as 2 tasks over 750k rows each (the measured
+    # cost of the whole query).  A keyed repartition first spreads the
+    # partial sort+limit across the cluster; the extra exchange carries
+    # narrow rows once and the post-limit shuffle is ~3 rows per
+    # (task, group) (guide §2.5: input parallelism, not the window, was
+    # the bottleneck).  Hash on the unique key — keyless round-robin
+    # repartition pays a local sort of its input (SPARK-23207).
+    o = table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism, "o_orderkey"
+    )
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )

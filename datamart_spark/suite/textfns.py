@@ -482,7 +482,15 @@ def dedup_pipeline(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
 
     h = docs.select("doc_id", F.md5("text").alias("th"))
-    g = h.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
+    # keeper map materialized ONCE (localCheckpoint: within-query reuse,
+    # recomputed from parquet on every execution): it feeds exact_drops
+    # AND the reps filter of the shingle table — without it Spark re-ran
+    # the doc-scale md5 groupBy for each consumer (guide §2.4: share,
+    # don't recompute)
+    g = (
+        h.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
+        .localCheckpoint(eager=True)
+    )
     exact_drops = (
         h.join(g, "th")
         .where(F.col("doc_id") != F.col("keep_id"))
@@ -496,48 +504,120 @@ def dedup_pipeline(spark, sf_dir):
     # shingles of the representatives: the materialized full-corpus
     # shingle table filtered by the keep-list (identical rows to
     # shingling the reps directly — shingling is per-document)
-    dsh = _shingles_cached(spark, sf_dir).join(reps, "doc_id")
+    dsh_all = _shingles_cached(spark, sf_dir)
+    dsh = dsh_all.join(reps, "doc_id")
 
-    sig = (
-        dsh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.min(
-                _h_spark(
-                    F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle"))
-                )
-            ).alias("hh")
+    # The shingle VOCABULARY is orders of magnitude smaller than the
+    # (doc, shingle) set (measured at sf1.0: 28k distinct vs 2.6M rows),
+    # so the per-band md5 minima are computed once per DISTINCT shingle
+    # and broadcast-joined back — 4·|vocab| md5 evaluations instead of
+    # 4·|rows| (~100× less hash work; guide §1.2 step 2: make the
+    # per-task work cheap once the shape is right).  ``sid`` is a dense
+    # injective surrogate for the shingle string (values are arbitrary;
+    # only equality is used), pinned by the checkpoint; the verify stage
+    # intersects fixed-width longs instead of strings.
+    vocab = (
+        dsh.select("shingle").distinct()
+        .select(
+            "shingle",
+            *[
+                _h_spark(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"mh{j}")
+                for j in range(4)
+            ],
         )
+        .withColumn("sid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
-    bucket = sig.groupBy("band", "hh").agg(F.count(F.lit(1)).alias("bn"))
-    a, b = sig.alias("a"), sig.alias("b")
+
+    # signatures materialized ONCE (they feed both sides of the band
+    # self-join AND the bucket-size filter — as three lineage copies the
+    # signature pass ran three times per execution).  The four band
+    # minima are four agg columns unpivoted AFTER the aggregation
+    # (4 rows/doc), not an explode ×4 BEFORE it (guide §2.3
+    # "aggregate before you shuffle").
+    sig = (
+        dsh.join(F.broadcast(vocab.drop("sid")), "shingle")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"mh{j}").alias(f"mh{j}") for j in range(4)])
+        .select(
+            "doc_id",
+            F.expr("stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, hh)"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # drop over-cap buckets BEFORE the self-join: at sf1.0 the uncapped
+    # join formed 4.25M pairs of which 3.0M came from over-cap buckets
+    # and were immediately discarded by the k.bn filter — filtering the
+    # signature rows first forms only the surviving 1.25M (guide §2.3:
+    # filter before the join, not after)
+    bucket_ok = (
+        sig.groupBy("band", "hh").agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= _BUCKET_CAP)
+        .select("band", "hh")
+    )
+    sig_f = sig.join(F.broadcast(bucket_ok), ["band", "hh"])
+    a, b = sig_f.alias("a"), sig_f.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.hh") == F.col("b.hh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .join(
-            bucket.where(F.col("bn") <= _BUCKET_CAP).alias("k"),
-            (F.col("k.band") == F.col("a.band")) & (F.col("k.hh") == F.col("a.hh")),
-        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=True)  # reused: both verify joins + the id set
     )
 
-    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        cand.join(dsh.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
-        .join(
-            dsh.alias("db"),
-            (F.col("doc_b") == F.col("db.doc_id"))
-            & (F.col("db.shingle") == F.col("da.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("cc"))
+    # Verification, reshaped around the candidate PAIR count (measured
+    # at sf1.0: 1.24M pairs over 47k docs): the row-level formulation —
+    # cand ⋈ shingles(doc_a) ⋈ shingles(doc_b) on (doc_id, shingle) —
+    # inflated to |pairs|·|shingles/doc| ≈ 64M joined rows (12.3 s of a
+    # 17.7 s query).  Instead each candidate doc's shingle set rides as
+    # ONE array of sids: two |pairs|-row joins attach both sets, and
+    # |A ∩ B| / |A| / |B| are per-row JVM expressions
+    # (size(array_intersect(...)) — guide §2.3: shuffle grouped
+    # payloads, not exploded rows; §1.2: fix the algorithm first).
+    # sid↔shingle is injective, so cc/na/nb — hence every jac row — are
+    # identical to the string formulation.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    # candidate docs' shingle-id sets (pruned first: guide §3.2
+    # semi-join; dsh_all rows are distinct per (doc, shingle), so
+    # collect_list is a set); materialized once, consumed by both sides
+    # of the pair join
+    sets = (
+        dsh_all.join(F.broadcast(cand_ids), "doc_id")
+        .join(F.broadcast(vocab.select("shingle", "sid")), "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sid").alias("arr"))
+        .localCheckpoint(eager=True)
     )
     jac = (
-        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn("j", F.expr("cc * 1.0d / (sa.n + sb.n - cc)"))
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"),
+                        F.col("arr").alias("arr_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"),
+                        F.col("arr").alias("arr_b")),
+            "doc_b",
+        )
+        # feasibility gate before the intersect: j = cc/(na+nb−cc) is
+        # maximal at cc = min(na,nb), so 3·min(na,nb) < na+nb makes
+        # j ≥ 0.5 unreachable — skip the intersect for those pairs
+        # (34% of pairs at sf1.0); dropped pairs could never produce a
+        # jac row, so the output is unchanged
+        .withColumn("na", F.size("arr_a"))
+        .withColumn("nb", F.size("arr_b"))
+        .where(F.expr("3 * least(na, nb) >= na + nb"))
+        .select(
+            "doc_a", "doc_b", "na", "nb",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("cc"),
+        )  # arrays projected away BEFORE anything downstream shuffles
+        .where(F.col("cc") > 0)
+        .withColumn("j", F.expr("cc * 1.0d / (na + nb - cc)"))
         .where(F.col("j") >= _J_THRESH)
     )
     from pyspark.sql import Window
@@ -648,6 +728,10 @@ def _lsh_edges(spark, sf_dir):
                 )
             ).alias("h2"),
         )
+        # both sides of the self-join below are this lineage: checkpoint
+        # so the tokenize+shingle+8×md5 pass runs once per execution,
+        # not twice (within-query reuse — guide §2.4)
+        .localCheckpoint(eager=True)
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (
@@ -939,17 +1023,26 @@ def corpus_curation(spark, sf_dir):
     keeper map (it has one row per distinct text, so it is NOT
     broadcastable at corpus scale) + narrow array expressions: two
     shuffles total at any corpus size, no Python in the loop."""
+    from pyspark.sql import Window
+
     docs = table(spark, sf_dir, "documents")
+    # compute the per-doc scalars BEFORE any exchange, so the shuffle
+    # carries (doc_id, lang, th, n, nstop) — never the token arrays
+    # (guide §2.3 "project before the exchange"); and derive keep_id
+    # with ONE window over th instead of a groupBy + equi-join on th,
+    # which scanned + exchanged the doc table twice (guide §2.4)
     h = docs.select(
         "doc_id", "lang", F.md5("text").alias("th"),
         F.expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").alias("toks"),
-    )
-    keepers = h.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
-    m = h.join(keepers, "th").select(
-        "lang",
+    ).select(
+        "doc_id", "lang", "th",
         F.size("toks").alias("n"),
         F.expr(f"size(filter(toks, x -> array_contains(array({_STOP}), x)))").alias("nstop"),
-        (F.col("doc_id") != F.col("keep_id")).alias("is_dup"),
+    )
+    m = h.select(
+        "lang", "n", "nstop",
+        (F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("th"))
+         ).alias("is_dup"),
     )
     decided = m.select(
         "lang", "n",

@@ -59,7 +59,14 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 )
 def cosine_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    # ||q|| computed ONCE in the broadcast 1-row side instead of per
+    # data row (identical double: same sequential fold over the same
+    # array — the per-row expression re-ran the 64-element fold for
+    # every vector)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        F.expr(_NORM_SPARK.format(a="embedding")).alias("qnorm"),
+    )
     s = (
         emb.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
@@ -69,9 +76,7 @@ def cosine_topk(spark, sf_dir):
                 _DOT_SPARK.format(a="embedding", b="qe")
                 + " / ("
                 + _NORM_SPARK.format(a="embedding")
-                + " * "
-                + _NORM_SPARK.format(a="qe")
-                + ")"
+                + " * qnorm)"
             ),
         )
     )
