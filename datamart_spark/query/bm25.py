@@ -101,13 +101,7 @@ def idf_map(spark: SparkSession, catalog: IndexCatalog, terms: list[str]) -> dic
         cache = _DF_CACHE[key] = {}
     missing = [t for t in terms if t not in cache]
     if missing:
-        rows = (
-            catalog.read_snapshot(spark, "term_stats")
-            .where(F.col("term").isin(missing))
-            .select("term", "df")
-            .collect()
-        )
-        found = {r["term"]: r["df"] for r in rows}
+        found = _lookup_df(spark, catalog, missing)
         if len(cache) + len(missing) > _DF_CACHE_MAX_TERMS:
             cache.clear()
         for t in missing:
@@ -117,6 +111,38 @@ def idf_map(spark: SparkSession, catalog: IndexCatalog, terms: list[str]) -> dic
         for t in terms
         if cache[t] > 0
     }
+
+
+def _lookup_df(spark: SparkSession, catalog: IndexCatalog, terms: list[str]) -> dict[str, int]:
+    """Fetch df for ``terms`` from the committed term_stats table.
+
+    Fast path: a driver-local Arrow dataset read with a pushed
+    ``term IN`` filter — the analog of an Elasticsearch node consulting
+    its in-memory term dictionary, without paying a whole Spark job
+    round-trip per query (measured: the idf job was half of each
+    query's latency floor).  Work stays O(query terms + row groups
+    touched); ``recover()`` gives the same crashed-rewrite resolution
+    as ``read_snapshot``.  Any failure falls back to the distributed
+    scan (e.g. term_stats on a filesystem the driver cannot read)."""
+    try:
+        import pyarrow.dataset as pads
+
+        catalog.recover()
+        ds = pads.dataset(catalog.table_path("term_stats"), format="parquet")
+        tb = ds.to_table(
+            columns=["term", "df"], filter=pads.field("term").isin(terms)
+        )
+        return dict(
+            zip(tb.column("term").to_pylist(), tb.column("df").to_pylist())
+        )
+    except Exception:
+        rows = (
+            catalog.read_snapshot(spark, "term_stats")
+            .where(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: r["df"] for r in rows}
 
 
 def _filtered_doc_stats(

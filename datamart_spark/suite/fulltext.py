@@ -220,9 +220,15 @@ FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
 )
 def term_stats_top(spark, sf_dir):
     tok, _, _, _ = _direct_tables(spark, sf_dir)
+    # manual two-level aggregation: count_distinct + count(*) in one agg
+    # plans an Expand that doubles the token-scale rows entering the
+    # exchange; aggregating to (term, doc_id, tf) first shuffles each
+    # distinct pair once, then df = rows per term and cf = Σtf
+    # (identical values — guide §2.3 "aggregate before you shuffle")
+    per_doc = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     return (
-        tok.groupBy("term")
-        .agg(F.count_distinct("doc_id").alias("df"), F.count(F.lit(1)).alias("cf"))
+        per_doc.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(20)
     )

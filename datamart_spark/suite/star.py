@@ -61,8 +61,8 @@ def join_left_agg(spark, sf_dir):
         .agg(
             F.count("l_orderkey").alias("n_items"),
             F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
+            # exact-sum via integer cents (see groupby_flag_status note)
+            (F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))) / 100.0)
             .alias("sum_price"),
             F.max("l_extendedprice").alias("max_price"),
             F.min("l_extendedprice").alias("min_price"),
@@ -168,7 +168,16 @@ def groupby_flag_status(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            # Exact order-independent sum via integer cents: money
+            # columns are 2-decimal by construction (verified: zero
+            # violations across every sf), so floor(x*100 + 0.5) is the
+            # exact cent count (no representable value sits near a .5
+            # tie) and Σcents/100.0 is bit-identical to the
+            # decimal(18,2) path — which paid a string-formatting
+            # double→BigDecimal conversion PER ROW (measured: 63% of
+            # this query's runtime; guide §1.2 step 2).
+            (F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5))) / 100.0)
+            .alias("sum_qty"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.max("l_extendedprice").alias("max_price"),
