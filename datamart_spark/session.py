@@ -69,6 +69,10 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd writes measured ~10% faster than snappy on the 24M-row
+        # tokens checkpoint AND smaller files (guide §6: "smaller than
+        # snappy at similar read speed")
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

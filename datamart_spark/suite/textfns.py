@@ -480,17 +480,46 @@ def dedup_pipeline(spark, sf_dir):
     no all-pairs join ever forms — pair work is bounded by
     Σ_buckets min(|bucket|, cap)²."""
     docs = table(spark, sf_dir, "documents")
+    dsh_all = _shingles_cached(spark, sf_dir)
 
     h = docs.select("doc_id", F.md5("text").alias("th"))
-    # keeper map materialized ONCE (localCheckpoint: within-query reuse,
-    # recomputed from parquet on every execution): it feeds exact_drops
-    # AND the reps filter of the shingle table — without it Spark re-ran
-    # the doc-scale md5 groupBy for each consumer (guide §2.4: share,
-    # don't recompute)
-    g = (
-        h.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
-        .localCheckpoint(eager=True)
+
+    # The shingle VOCABULARY is orders of magnitude smaller than the
+    # (doc, shingle) set (measured at sf1.0: 28k distinct vs 2.6M rows),
+    # so the per-band md5 minima are computed once per DISTINCT shingle
+    # and broadcast-joined back — 4·|vocab| md5 evaluations instead of
+    # 4·|rows| (~100× less hash work; guide §1.2 step 2: make the
+    # per-task work cheap once the shape is right).  Built over the FULL
+    # shingle table (a superset of the reps' vocabulary — extra entries
+    # are inert: per-shingle hashes are identical and joins only match
+    # what is present), so it does not depend on the keeper map and its
+    # job can overlap g's.  ``sid`` is a dense injective surrogate for
+    # the shingle string (values are arbitrary; only equality is used),
+    # pinned by the checkpoint; the verify stage intersects fixed-width
+    # longs instead of strings.
+    vocab_plan = (
+        dsh_all.select("shingle").distinct()
+        .select(
+            "shingle",
+            *[
+                _h_spark(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"mh{j}")
+                for j in range(4)
+            ],
+        )
+        .withColumn("sid", F.monotonically_increasing_id())
     )
+    # keeper map + vocabulary are independent lineages (docs vs the
+    # cached shingle table): materialize their checkpoints from two
+    # driver threads so the two jobs overlap (guide §2.6) — each is
+    # within-query reuse, recomputed from parquet on every execution
+    g_plan = h.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_g = pool.submit(lambda: g_plan.localCheckpoint(eager=True))
+        f_v = pool.submit(lambda: vocab_plan.localCheckpoint(eager=True))
+        g, vocab = f_g.result(), f_v.result()
+
     exact_drops = (
         h.join(g, "th")
         .where(F.col("doc_id") != F.col("keep_id"))
@@ -504,30 +533,7 @@ def dedup_pipeline(spark, sf_dir):
     # shingles of the representatives: the materialized full-corpus
     # shingle table filtered by the keep-list (identical rows to
     # shingling the reps directly — shingling is per-document)
-    dsh_all = _shingles_cached(spark, sf_dir)
     dsh = dsh_all.join(reps, "doc_id")
-
-    # The shingle VOCABULARY is orders of magnitude smaller than the
-    # (doc, shingle) set (measured at sf1.0: 28k distinct vs 2.6M rows),
-    # so the per-band md5 minima are computed once per DISTINCT shingle
-    # and broadcast-joined back — 4·|vocab| md5 evaluations instead of
-    # 4·|rows| (~100× less hash work; guide §1.2 step 2: make the
-    # per-task work cheap once the shape is right).  ``sid`` is a dense
-    # injective surrogate for the shingle string (values are arbitrary;
-    # only equality is used), pinned by the checkpoint; the verify stage
-    # intersects fixed-width longs instead of strings.
-    vocab = (
-        dsh.select("shingle").distinct()
-        .select(
-            "shingle",
-            *[
-                _h_spark(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"mh{j}")
-                for j in range(4)
-            ],
-        )
-        .withColumn("sid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
-    )
 
     # signatures materialized ONCE (they feed both sides of the band
     # self-join AND the bucket-size filter — as three lineage copies the
