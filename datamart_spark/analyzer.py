@@ -162,12 +162,14 @@ def tokenize_batch_flat(
     code): rows that provably segment identically under ASCII ``\\w+``
     — no char ≥ U+0080 and, for uax29, no mid-token join character
     (``uax29._MAYBE_SLOW`` is a single RE2-compatible class) — are
-    lowered, split and dictionary-encoded entirely in Arrow C++
-    (RE2 ``[^0-9a-z_]+`` split ≡ ``\\w+`` findall on lowered ASCII).
-    Remaining rows take the exact per-row python path
-    (``analyze_series`` semantics); the two streams merge at the
-    (tiny) vocabulary level, so results are bit-identical to the
-    previous pandas ``str.findall`` implementation."""
+    lowered in Arrow C++, tokenized byte-level in numpy over the
+    contiguous string buffer (word-class lookup table + shifted
+    comparisons ≡ ``\\w+`` findall on lowered ASCII), and factorized
+    with ``pc.dictionary_encode``.  Remaining rows take the exact
+    per-row python path (``analyze_series`` semantics); the two
+    streams merge at the (tiny) vocabulary level, so results are
+    bit-identical to the previous pandas ``str.findall``
+    implementation."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc

@@ -476,9 +476,127 @@ def dedup_pipeline(spark, sf_dir):
     banding over the survivors (with the explicit per-bucket cap),
     n-gram Jaccard computed ONLY on LSH candidate pairs, and a
     deterministic keep-list (drop the higher doc_id, keep its smallest
-    verified partner).  Every stage is the one you would run at 100 TB:
-    no all-pairs join ever forms — pair work is bounded by
-    Σ_buckets min(|bucket|, cap)²."""
+    verified partner).  No all-pairs join ever forms — pair work is
+    bounded by Σ_buckets min(|bucket|, cap)².
+
+    TWO physical shapes, dispatched on corpus size (parquet footer
+    metadata — no Spark job), because the optimum flips with scale
+    (measured, same window): the fused single-job plan wins below ~20k
+    docs (2.0 vs 3.1 s at sf0.1 — stage-barrier overhead dominates tiny
+    data) while the staged plan wins ~2× at 50k docs and grows its lead
+    (checkpointed signature reuse, pre-join bucket-cap filter,
+    vocabulary-level hashing, array-intersect verify — see
+    OPTIMIZATION_r07.md).  Both shapes are oracle-identical;
+    tests/test_dedup_pipeline_shapes.py pins row-for-row identity."""
+    n = _corpus_rows(sf_dir)
+    if n is not None and n < _PIPELINE_STAGED_MIN_DOCS:
+        return _dedup_pipeline_fused(spark, sf_dir)
+    return _dedup_pipeline_staged(spark, sf_dir)
+
+
+def _corpus_rows(sf_dir, table_name: str = "documents"):
+    """Corpus row count from parquet footer metadata — a driver-local
+    O(#files) read, no Spark job (the count only picks a plan shape;
+    None on any surprise keeps the scale-safe staged path)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = os.path.join(sf_dir, f"{table_name}.parquet")
+    try:
+        files = (
+            [root]
+            if os.path.isfile(root)
+            else sorted(glob.glob(os.path.join(root, "*.parquet")))
+        )
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
+#: below this many docs the fused single-job shape wins (measured
+#: crossover between 5k and 50k docs; barrier overhead ~5 × 0.4 s vs
+#: the staged plan's savings, which scale with |shingles|)
+_PIPELINE_STAGED_MIN_DOCS = 20_000
+
+
+def _dedup_pipeline_fused(spark, sf_dir):
+    """Small-corpus shape: one declarative plan, no checkpoints — the
+    signature lineage is recomputed by each consumer, which is cheaper
+    than materialization barriers while the shingle set is tiny."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.md5("text").alias("th"))
+    g = h.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
+    exact_drops = (
+        h.join(g, "th")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select(
+            F.col("doc_id").alias("dropped_id"), "keep_id",
+            F.lit(1.0).alias("score"), F.lit("exact").alias("reason"),
+        )
+    )
+    reps = g.select(F.col("keep_id").alias("doc_id"))
+    dsh = _shingles_cached(spark, sf_dir).join(reps, "doc_id")
+    sig = (
+        dsh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.min(
+                _h_spark(
+                    F.concat(F.col("band").cast("string"), F.lit(":"), F.col("shingle"))
+                )
+            ).alias("hh")
+        )
+    )
+    bucket = sig.groupBy("band", "hh").agg(F.count(F.lit(1)).alias("bn"))
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.hh") == F.col("b.hh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(
+            bucket.where(F.col("bn") <= _BUCKET_CAP).alias("k"),
+            (F.col("k.band") == F.col("a.band")) & (F.col("k.hh") == F.col("a.hh")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(dsh.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        .join(
+            dsh.alias("db"),
+            (F.col("doc_b") == F.col("db.doc_id"))
+            & (F.col("db.shingle") == F.col("da.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    jac = (
+        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("j", F.expr("cc * 1.0d / (sa.n + sb.n - cc)"))
+        .where(F.col("j") >= _J_THRESH)
+    )
+    w = Window.partitionBy("doc_b").orderBy("doc_a")
+    near_drops = (
+        jac.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("doc_b").alias("dropped_id"), F.col("doc_a").alias("keep_id"),
+            F.round("j", 4).alias("score"), F.lit("near").alias("reason"),
+        )
+    )
+    return exact_drops.unionByName(near_drops).orderBy("dropped_id").limit(100)
+
+
+def _dedup_pipeline_staged(spark, sf_dir):
+    """Large-corpus shape (the 100 TB plan) — see OPTIMIZATION_r07.md."""
     docs = table(spark, sf_dir, "documents")
     dsh_all = _shingles_cached(spark, sf_dir)
 
