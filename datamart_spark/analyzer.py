@@ -241,8 +241,12 @@ def tokenize_batch_flat(
             nxt[:-1] = word[1:]
         # force token breaks at row boundaries (rows are adjacent in
         # the buffer): a row start never continues the previous row's
-        # token, a row end always terminates its own
+        # token, a row end always terminates its own.  Boundaries at
+        # position 0 or at the buffer end (leading/trailing EMPTY rows)
+        # need no break — there is no byte on the other side — and
+        # indexing them would go out of bounds.
         inner = offs[1:-1]
+        inner = inner[(inner > 0) & (inner < word.size)]
         prev[inner] = False
         nxt[inner - 1] = False
         tok_starts = np.flatnonzero(word & ~prev)

@@ -713,3 +713,42 @@ def test_expand_prefixes_matches_expand_prefix(spark, pos_catalog):
     for p, mx in reqs.items():
         assert many[p] == expand_prefix(spark, pos_catalog, p, mx), p
     assert expand_prefixes(spark, pos_catalog, {}) == {}
+
+
+def test_positions_correct_on_mixed_ascii_unicode_batch(spark, tmp_path):
+    """The build's batch tokenizer routes pure-ASCII rows through the
+    Arrow byte-level fast path and everything else through the python
+    path, merging the two streams (analyzer.tokenize_batch_flat).  A
+    positional build over a MIXED batch must still record per-doc token
+    ordinals correctly for BOTH stream halves — this pins phrase span
+    offsets against a brute-force python tokenization of the same
+    docs."""
+    from datamart_spark.analyzer import analyze_str
+    from datamart_spark.query.phrase import phrase_spans
+
+    docs_rows = [
+        (0, "alpha beta gamma alpha beta", "en"),
+        (1, "café beta naïve alpha beta gamma", "fr"),     # non-ASCII → slow path
+        (2, "alpha beta 日本語 gamma alpha beta", "en"),    # CJK → slow path
+        (3, "can't stop alpha beta won't stop", "en"),      # mid-join char → slow path (uax29 only)
+        (4, "beta alpha beta alpha", "en"),
+        (5, "", "en"),
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string, lang string")
+    cat = IndexCatalog(str(tmp_path / "mixed_pos"))
+    build_index(docs, cat, n_shards=2, stemming=False, resume=False,
+                n_docs=len(docs_rows), positions=True)
+
+    for phrase in ("alpha beta", "beta gamma", "beta alpha"):
+        got = sorted(
+            (r["doc_id"], r["pos"])
+            for r in phrase_spans(spark, cat, phrase).collect()
+        )
+        terms = phrase.split()
+        want = []
+        for d, text, _ in docs_rows:
+            tk = analyze_str(text, None, tokenizer="simple")
+            for i in range(len(tk) - len(terms) + 1):
+                if tk[i:i + len(terms)] == terms:
+                    want.append((d, i))
+        assert got == sorted(want), phrase
