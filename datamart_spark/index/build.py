@@ -201,11 +201,12 @@ def term_doc_tf(
         for b in batches:
             if title_boost is None:
                 # whole-batch Arrow tokenization (analyzer.
-                # tokenize_batch_flat): RE2 split + dictionary encode in
-                # C++ for provably-\w+-identical rows, python fallback
-                # for the rest — replaces the pandas str.findall +
-                # pd.factorize pair that dominated the analyze phase
-                # (guide §4.2); returns the already-factorized stream
+                # tokenize_batch_flat): byte-level numpy split +
+                # C++ dictionary encode for provably-\w+-identical
+                # rows, python fallback for the rest — replaces the
+                # pandas str.findall + pd.factorize pair that dominated
+                # the analyze phase (guide §4.2); returns the
+                # already-factorized stream
                 codes, uniq0, lens, stream_order = tokenize_batch_flat(
                     b[text_col], tokenizer=tokenizer
                 )
