@@ -1149,12 +1149,21 @@ def corpus_curation(spark, sf_dir):
     shuffles total at any corpus size, no Python in the loop."""
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
-    # compute the per-doc scalars BEFORE any exchange, so the shuffle
-    # carries (doc_id, lang, th, n, nstop) — never the token arrays
-    # (guide §2.3 "project before the exchange"); and derive keep_id
-    # with ONE window over th instead of a groupBy + equi-join on th,
-    # which scanned + exchanged the doc table twice (guide §2.4)
+    # the documents table is a single parquet row group at bench scale,
+    # so the expensive tokenize+md5 projection below would run as ONE
+    # scan task; spreading the raw rows first parallelizes it across
+    # the cluster (guide §2.5 "input skew … repartition immediately
+    # after the read" — measured 1.4 → 0.65 s at sf1.0; the projection,
+    # not the exchange, was the wall)
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # compute the per-doc scalars BEFORE any further exchange, so the
+    # window shuffle carries (doc_id, lang, th, n, nstop) — never the
+    # token arrays (guide §2.3 "project before the exchange"); and
+    # derive keep_id with ONE window over th instead of a groupBy +
+    # equi-join on th, which scanned + exchanged the doc table twice
+    # (guide §2.4)
     h = docs.select(
         "doc_id", "lang", F.md5("text").alias("th"),
         F.expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").alias("toks"),
