@@ -62,13 +62,18 @@ def cosine_topk(spark, sf_dir):
     # ||q|| computed ONCE in the broadcast 1-row side instead of per
     # data row (identical double: same sequential fold over the same
     # array — the per-row expression re-ran the 64-element fold for
-    # every vector)
+    # every vector); the q side stays on the raw scan so the vec_id=0
+    # pushdown fetches one row without an exchange
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"),
         F.expr(_NORM_SPARK.format(a="embedding")).alias("qnorm"),
     )
+    # the table is one parquet row group, so the 129-flop-per-row
+    # higher-order fold ran as a single scan task; spread the data side
+    # first (guide §2.5 — measured 0.45 → 0.31 s at sf1.0)
     s = (
         emb.where(F.col("vec_id") != 0)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .crossJoin(F.broadcast(q))
         .withColumn(
             "cos",
