@@ -821,7 +821,13 @@ def _lsh_edges(spark, sf_dir):
     similarity, so the clustering below has structure to find.
     Signatures run over word 3-gram SHINGLES, not unigrams — unigram
     minima collide corpus-wide on a shared vocabulary."""
-    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
+    # single-row-group scan → the tokenize+shingle+8×md5 projection ran
+    # as one task; spread the slice first (guide §2.5, same finding as
+    # corpus_curation — measured ~1.5 → ~1.25 s at sf1.0)
+    docs = (
+        table(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     arr = docs.select(
         "doc_id",
         F.expr("filter(split(lower(text), '\\\\W+'), x -> x != '')").alias("toks"),
